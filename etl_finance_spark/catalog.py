@@ -1,0 +1,61 @@
+"""Fixture-table catalog.
+
+Registers the driver's ten parquet tables (TESTDATA.md / FIXTURES.md §A)
+as temp views so queries can be written against stable names — the same
+names the DuckDB oracle pre-registers (__spark_entry__.py docstring).
+
+At 100 TB these would be partitioned external tables (catalog-backed,
+partition-pruned); the API here is the seam where that swap happens:
+every operator goes through :func:`table`/:func:`register_views`, never
+a hard-coded path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs correctness depends on, so queries behave
+    identically on a caller-provided vanilla session (e.g. the driver's):
+    ns-parquet readable, UTC wall-clock to match the DuckDB oracle."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - conf missing in future Spark
+            pass
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (column pruning/filter pushdown reach the
+    parquet scan because this is a plain declarative read)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Parquet TIMESTAMP(NANOS) arrives as long ns (see session.py);
+        # truncate to Spark's native µs precision. The DuckDB oracle
+        # mirrors with date_trunc('microseconds', ts).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view named after itself."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

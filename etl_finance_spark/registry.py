@@ -1,0 +1,78 @@
+"""Query registry — single source of truth for the declared surface.
+
+Every operator from SURVEY.md §2 that is implemented-and-verified gets a
+``@register("q_name", oracle=...)`` entry next to its implementation.
+``__spark_entry__.py`` (the driver contract) and the differential tests
+both read from here, so the declared set can never drift from the tested
+set.
+
+``oracle=None`` marks a WEAK query (not SQL-expressible / nondeterministic);
+the driver then records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None for WEAK
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries. Imported lazily by collect() so partial
+# breakage in one family can't take down the whole surface.
+_QUERY_MODULES = (
+    "etl_finance_spark.operators.core",
+    "etl_finance_spark.operators.joins",
+    "etl_finance_spark.operators.aggregates",
+    "etl_finance_spark.operators.windows",
+    "etl_finance_spark.operators.setops",
+    "etl_finance_spark.functions.families",
+    "etl_finance_spark.streaming.windows",
+    "etl_finance_spark.llm.dedup",
+    "etl_finance_spark.llm.similarity",
+    "etl_finance_spark.llm.textstats",
+    "etl_finance_spark.plans.flagship",
+    "etl_finance_spark.functions.udfs",
+)
+
+
+def register(name: str, oracle: str | None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the surface."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def collect() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in collect().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in collect().items()
+        if spec.oracle is not None
+    }
