@@ -49,9 +49,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Parquet TIMESTAMP(NANOS) arrives as long ns (see session.py);
-        # truncate to Spark's native µs precision. The DuckDB oracle
-        # mirrors with date_trunc('microseconds', ts).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # truncate to Spark's native µs precision as TIMESTAMP_NTZ —
+        # timezone-independent and type-consistent with the other
+        # fixture timestamps (Spark infers NTZ for their ms parquet).
+        # The DuckDB oracle mirrors with date_trunc('microseconds', ts).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

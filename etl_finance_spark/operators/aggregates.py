@@ -1,1 +1,184 @@
-"""Placeholder — queries registered in a later wave."""
+"""Aggregation operators (SURVEY.md §2.2).
+
+Hash-stability policy (SURVEY.md §7.3 item 1): sums of large-magnitude
+doubles round to 2 decimals (a 1e8-scale sum rounded to 6dp sits at the
+edge of double precision, where summation order could flip the hash);
+averages and unit-scale values round to 6. Integer-valued double sums
+(l_quantity) are exact in double arithmetic regardless of order (< 2^53)
+so they stay unrounded.
+
+Scale posture: every groupBy here partial-aggregates map-side before the
+shuffle (Spark's HashAggregate does this for all built-in aggs), so the
+shuffle carries one row per (partition × group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table, register_views
+from etl_finance_spark.registry import register
+
+
+@register(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (SURVEY.md §5: fixtures are TPC-H-ish, not TPC-H)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 10
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; sum over integer-valued doubles is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_gsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (same Catalyst plan as the
+    DataFrame cube/rollup — demonstrates the engine's second API)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is partition-order-nondeterministic → always
+    sort_array before exposing (SURVEY.md §7.3 item 3). Joined to a
+    string so the hash sees a scalar."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("custkeys")
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)  # WEAK: sketch differs from DuckDB
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
+    (exact distinct shuffles every key; the sketch is mergeable and
+    constant-size). Unit test bounds its error vs exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )

@@ -257,7 +257,7 @@ def q_unix_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = table(spark, sf_dir, "events")
     return df.select(
         "event_id",
-        F.col("ts").cast("long").alias("epoch_s"),
+        F.unix_timestamp("ts").alias("epoch_s"),
         F.col("ts").cast("date").alias("event_date"),
     )
 

@@ -1,1 +1,194 @@
-"""Placeholder — queries registered in a later wave."""
+"""Join operators (SURVEY.md §2.2 X-JOIN-1..8).
+
+Physical-plan posture per join, since joins are where 100 TB plans live
+or die:
+
+- dims (region/nation/part/customer at their real-world sizes) are
+  *broadcast* — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key; AQE handles skew
+  (session.py enables skewJoin) — at warehouse scale the same keys
+  would be bucketed so the shuffle disappears;
+- the range/as-of joins are equi-joins on the entity key with the
+  temporal predicate as a post-join filter, so Spark still gets a
+  hash/sort-merge join rather than a cartesian expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-1: inner equi-join fact→dim."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-2: same semantics as inner, physical broadcast hint — the
+    dim ships to every executor, the fact never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_linenumber", "p_brand")
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-3: left outer (unmatched dim rows survive with nulls)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .select("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-4: left semi — EXISTS without duplicating matches."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, seg FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-8: cross join of two tiny deterministic sets (5×5)."""
+    region = table(spark, sf_dir, "region").select("r_name")
+    segs = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return region.crossJoin(segs)
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT e1.event_id, count(*) AS n_following
+    FROM events e1
+    JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.event_id <> e1.event_id
+     AND date_trunc('microseconds', e2.ts) > date_trunc('microseconds', e1.ts)
+     AND date_trunc('microseconds', e2.ts)
+         <= date_trunc('microseconds', e1.ts) + INTERVAL '1 hour'
+    GROUP BY e1.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-6: bounded temporal self-join — events followed within 1h
+    by another event of the same user. Equi-join on user_id carries the
+    plan; the range predicate filters post-join, so no cartesian blowup
+    (pairs per user are bounded by the 1h window)."""
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    e1 = events.alias("e1")
+    e2 = events.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.user_id") == F.col("e1.user_id"))
+            & (F.col("e2.event_id") != F.col("e1.event_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderkey, l.l_shipdate
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+    ), r AS (
+        SELECT o_orderkey, l_shipdate,
+               row_number() OVER (
+                   PARTITION BY o_orderkey ORDER BY l_shipdate ASC NULLS LAST
+               ) AS rn
+        FROM j
+    )
+    SELECT o_orderkey,
+           CAST(l_shipdate AS DATE) AS first_ship_date
+    FROM r WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-JOIN-7: as-of join — for each order, the *first* shipment
+    at-or-after its order date. Spark has no native ASOF; the recipe
+    (SURVEY.md §4) is equi-join on the entity key + temporal filter +
+    row_number()=1 pruning. Output projects the matched *timestamp*
+    (tie-safe) rather than an arbitrary tied row. DuckDB's native
+    `ASOF JOIN` only supports the >= direction on the left side, so the
+    oracle uses the equivalent window formulation."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("l_shipdate").asc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("l_shipdate").cast("date").alias("first_ship_date"),
+        )
+    )

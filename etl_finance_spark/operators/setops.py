@@ -1,1 +1,64 @@
-"""Placeholder — queries registered in a later wave."""
+"""Set operations (SURVEY.md §2.2): ALL vs DISTINCT variants pinned
+explicitly on both engines. q_union_all lives in operators.core
+(R-UNION-1); these are the distinct-semantics family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+def _cust_nations(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+
+
+def _supp_nations(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).union(
+        _supp_nations(spark, sf_dir)
+    ).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == EXCEPT DISTINCT (exceptAll would keep a key whose
+    # left multiplicity merely exceeds the right's — different op).
+    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))

@@ -1,1 +1,227 @@
-"""Placeholder — queries registered in a later wave."""
+"""Window-function operators (SURVEY.md §2.2, beyond R-WIN-1).
+
+Every window partitions by an entity key (customer / user / returnflag):
+a global ORDER BY window is the reference's seam-bug anti-pattern
+(etl.py:166) and a single-reducer bottleneck at scale. Every ORDER BY
+carries a unique tiebreak suffix so row_number/ntile/top-k row *sets*
+are deterministic (SURVEY.md §7.3 item 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+@register(
+    "q_win_rownum",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM orders
+    """,
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk
+    FROM lineitem
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank are tie-stable (depend only on the value), so no
+    tiebreak key is needed for determinism here."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q_win_moving_avg",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS ma7
+    FROM events
+    """,
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average — the forex-delta smoothing pattern
+    (etl.py:418-422 family) per entity."""
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return events.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("ma7")
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartiles: a deliberate single-partition window — at scale
+    this becomes approx percentile_disc bucketing; kept here because the
+    reference surface includes rank-style global bucketing, with the
+    unique tiebreak making tile assignment deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "q_win_lead",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT) AS epoch_s,
+           CAST(floor(epoch(lead(date_trunc('microseconds', ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+           ))) AS BIGINT) AS next_epoch_s
+    FROM events
+    """,
+)
+def q_win_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead(): next event time per user (session-gap raw material)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_timestamp(F.lead("ts", 1).over(w)).alias("next_epoch_s"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id,
+           first_value(value) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_v,
+           last_value(value) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_v
+    FROM events
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full frame (raw values pass through —
+    no arithmetic, so bit-exact across engines)."""
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark's TakeOrderedAndProject — each partition
+    keeps k rows, driver merges k·p rows; no global sort materialized."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group — also the relational half of similarity top-k
+    (SURVEY.md §2.2)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

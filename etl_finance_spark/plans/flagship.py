@@ -65,7 +65,7 @@ def pct_change_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_change"),
     )
     return lagged.groupBy(
-        F.col("hour_ts").cast("long").alias("hour_epoch"),
+        F.unix_timestamp("hour_ts").alias("hour_epoch"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
