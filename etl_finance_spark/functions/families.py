@@ -1,1 +1,193 @@
-"""Placeholder — queries registered in a later wave."""
+"""Scalar-function family queries (SURVEY.md §2.2).
+
+One combined query per family, exercised over the fixture tables. All
+expressions are JVM-side built-ins inside whole-stage codegen — no
+Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+@register(
+    "q_select_exprs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged,
+           l_quantity * 2 AS double_qty
+    FROM lineitem
+    """,
+)
+def q_select_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic + aliases (per-row IEEE ops are bit-identical across
+    engines when the expression tree matches, so 6dp is safe here)."""
+    li = table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 6).alias("net_price"),
+        F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
+        (F.col("l_quantity") * 2).alias("double_qty"),
+    )
+
+
+@register(
+    "q_nullif_coalesce",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag
+    FROM lineitem
+    """,
+)
+def q_nullif_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_flag"
+        ),
+    )
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '|', c_mktsegment) AS tagged,
+           substring(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           trim(upper(c_mktsegment)) AS seg_up,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substring/length/trim/upper/regexp_extract — regex kept
+    POSIX-basic so both engines agree (SURVEY.md §2.2)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("tagged"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.upper(F.col("c_mktsegment"))).alias("seg_up"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS due_date
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(abs(l_discount - 0.05), 6) AS abs_disc,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(pow(l_discount, 2), 6) AS disc_sq
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_q"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'hash') AS has_hash,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+               AS sorted_vocab
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode↔UNNEST family: size/contains/element_at/sort/distinct."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "hash").alias("has_hash"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias(
+            "sorted_vocab"
+        ),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT doc_id,
+           map(['lang', 'source'], [lang, source])['lang'][1] AS lang_v,
+           map(['lang', 'source'], [lang, source])['source'][1] AS src_v,
+           array_to_string(list_sort(map_keys(
+               map(['lang', 'source'], [lang, source]))), ',') AS keys_sorted
+    FROM documents
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No map column in fixtures → construct-then-inspect (SURVEY.md
+    §2.2): map build, value lookup, sorted key listing on both engines.
+    (DuckDB map[k] yields a list — [1] extracts the scalar.)"""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        m.getItem("lang").alias("lang_v"),
+        m.getItem("source").alias("src_v"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+    )

@@ -1,1 +1,115 @@
-"""Placeholder — queries registered in a later wave."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2).
+
+Policy: every *declared* UDF is deterministic and SQL-re-expressible
+(the oracle recomputes it in pure SQL). The row-at-a-time Python UDF
+exists to prove the API works — the pandas UDF is the sanctioned
+vectorized path (Arrow batches, ~10-100× less serialization overhead);
+both are the slow path vs built-ins and stay out of other queries.
+
+UDAF (applyInPandas) and UDTF (Spark 4 ``udtf``) are WEAK — exercised
+by unit tests (tests/test_udfs.py), not declared.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructType
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+_VOWELS = set("aeiou")
+
+
+def _vowel_count(s: str | None) -> int | None:
+    if s is None:
+        return None
+    return sum(1 for ch in s.lower() if ch in _VOWELS)
+
+
+@F.udf(returnType=IntegerType())
+def vowel_count_udf(s):  # pragma: no cover - executed on executors
+    return _vowel_count(s)
+
+
+@F.pandas_udf(IntegerType())
+def vowel_count_pandas(s: pd.Series) -> pd.Series:  # pragma: no cover
+    return s.str.lower().str.count(r"[aeiou]").astype("int32")
+
+
+_VOWEL_ORACLE = """
+    SELECT {key} AS key_id,
+           CAST(length(lower({col}))
+                - length(regexp_replace(lower({col}), '[aeiou]', '', 'g'))
+                AS INTEGER) AS n_vowels
+    FROM {tbl}
+"""
+
+
+@register("q_udf_py", oracle=_VOWEL_ORACLE.format(key="c_custkey", col="c_name",
+                                                  tbl="customer"))
+def q_udf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scalar Python UDF; oracle re-expresses it in SQL."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("key_id"),
+        vowel_count_udf(F.col("c_name")).alias("n_vowels"),
+    )
+
+
+@register("q_udf_pandas", oracle=_VOWEL_ORACLE.format(key="p_partkey",
+                                                      col="p_name", tbl="part"))
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same function as an Arrow-vectorized pandas UDF — the only
+    Python compute shape allowed in hot paths."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("key_id"),
+        vowel_count_pandas(F.col("p_name")).alias("n_vowels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDAF via applyInPandas (WEAK — unit-tested, not declared)
+# ---------------------------------------------------------------------------
+
+
+class TokenizeUDTF:
+    """UDTF (Spark 4): one text row → (idx, token) rows. WEAK —
+    unit-tested; the declared explode-based q_term_freq covers the
+    same semantics through the fast built-in path."""
+
+    def eval(self, text: str):  # pragma: no cover - runs on executors
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield (i, tok)
+
+
+def tokenize_udtf():
+    """Build the registered UDTF lazily (keeps import cheap)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(TokenizeUDTF, returnType="idx: int, token: string")
+
+
+def grouped_weighted_avg(df: DataFrame, key: str, value: str, weight: str,
+                         out: str = "weighted_avg") -> DataFrame:
+    """Per-group weighted average as an applyInPandas UDAF.
+
+    Arrow-batched per group; at scale groups hash-partition across
+    executors (the groupBy shuffle), each pandas batch fits one group.
+    """
+    from pyspark.sql.types import DoubleType, StructField
+
+    out_schema = StructType([df.schema[key], StructField(out, DoubleType())])
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf[weight].sum()
+        v = (pdf[value] * pdf[weight]).sum() / w if w else float("nan")
+        return pd.DataFrame({key: [pdf[key].iloc[0]], out: [v]})
+
+    return df.groupBy(key).applyInPandas(agg, schema=out_schema)

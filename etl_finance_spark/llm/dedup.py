@@ -1,1 +1,241 @@
-"""Placeholder — queries registered in a later wave."""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md
+§2.2 X-LLM-1..3 + BASELINE.json north-star mandate).
+
+Three rungs of the same ladder, by scale:
+
+1. **Exact** (`q_dedup_text`): hash-groupBy on the full text. One
+   shuffle on the text hash; at 100 TB this is the cheapest rung and
+   runs first to shrink the corpus.
+2. **Exact pairwise Jaccard** (`q_jaccard_pairs`): token-set overlap
+   via token-inverted-index self-join. Quadratic in docs-per-token —
+   correct but only viable on a bounded candidate set; serves as the
+   *oracle* for rung 3.
+3. **MinHash + LSH banding** (`q_minhash_lsh`): the 100 TB path.
+   32 hash functions → 16 bands × 2 rows; only band-collision
+   candidates get exact verification, so the pair space never
+   materializes. Fully deterministic (xxhash64 seeds), implemented as
+   pure DataFrame ops — no pandas, no driver loops.
+
+Plus `q_simhash`: 63-bit SimHash fingerprints (near-dup by Hamming
+distance; the property test pairs it with bit_count(xor)).
+
+The token-set helpers cap the corpus at ``doc_id < 500`` so bench
+runtime is scale-stable; the LSH path is the one meant to run uncapped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+N_MINHASH = 32
+BAND_ROWS = 2  # 16 bands of 2 rows: P(candidate | j=0.6) ≈ 0.999
+JACCARD_TAU = 0.8
+DOC_CAP = 500  # exact-pair rungs bound their candidate set
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) pairs, token-set semantics (distinct per doc)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
+    """X-LLM-2: all doc pairs with token-set Jaccard >= tau.
+
+    Inverted-index join: pairs only form through a shared token, so the
+    complexity is sum over tokens of df(t)^2 — fine for rare tokens,
+    quadratic for stopwords (which is why rung 3 exists).
+    """
+    toks = doc_tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature: one groupBy pass computing all
+    ``n_hashes`` mins map-side (no per-seed explosion — each seed is an
+    independent min-agg over xxhash64(tok, seed))."""
+    toks = doc_tokens(docs)
+    aggs = [
+        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_MINHASH,
+                        band_rows: int = BAND_ROWS) -> DataFrame:
+    """Band the signatures and emit candidate pairs via band-bucket
+    join. Only docs agreeing on an entire band meet — the join key is
+    (band_idx, band_hash), so the shuffle is by bucket, never all-pairs."""
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_hash"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    return (
+        l.join(r, ["band_idx", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, tau: float) -> DataFrame:
+    """Rung 3 end-to-end: LSH candidates → exact Jaccard verification.
+
+    The verification join re-derives token sets only for candidate
+    docs (semi-join pruned), so the exact step is linear in candidates."""
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    toks = doc_tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
+    shared = (
+        cands.join(t1, "d1")
+        .join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 63) -> DataFrame:
+    """63-bit SimHash fingerprint (bit 63 unused — a 64-bit pack would
+    overflow signed long under ANSI). One groupBy pass: per bit, sum of
+    ±1 votes from each token's xxhash64; bit set iff the vote is
+    positive."""
+    toks = doc_tokens(docs).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    packed = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Near-dup test between two SimHash fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_text",
+    oracle="""
+    SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-1: exact dedup with a deterministic survivor (min doc_id),
+    not dropDuplicates' arbitrary row."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < {DOC_CAP}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= {JACCARD_TAU}
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-2 on a bounded candidate set (doc_id < 500 keeps the
+    quadratic rung scale-stable across sf dirs)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
+    return exact_jaccard_pairs(docs, JACCARD_TAU)
+
+
+@register("q_minhash_lsh", oracle=None)  # WEAK: xxhash64 has no DuckDB analog
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-3: the scale path. Property test (tests/test_llm.py)
+    measures recall against q_jaccard_pairs on the same corpus."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
+    return minhash_lsh_pairs(docs, JACCARD_TAU)
+
+
+@register("q_simhash", oracle=None)  # WEAK: engine-specific hash values
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs)

@@ -1,0 +1,176 @@
+"""Multimodal columns (BASELINE.json north-star mandate).
+
+Media are opaque ``binary`` payloads with typed metadata structs; all
+Spark-side plumbing (schema, partitioning, Arrow batch shape) is real.
+The container has no image/audio libs, so the *decode* step is a
+deterministic fake behind an import-try (clearly marked) — swapping in
+PIL/librosa changes only the inner function, not the plan.
+
+The media table is synthesized deterministically from `documents`
+(payload = UTF-8 bytes of text; metadata derived from n_chars/source),
+so EXACT oracles exist for the metadata path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+FORMATS = ("png", "jpeg", "webp")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, payload binary, metadata struct).
+
+    At 100 TB this is the layout contract: payload stays an opaque
+    binary column (parquet keeps it out of dictionary encoding),
+    metadata is a typed struct so pruning/predicates never touch bytes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fmt_idx = F.pmod(F.xxhash64("source"), F.lit(len(FORMATS)))
+    fmt = (
+        F.when(fmt_idx == 0, FORMATS[0])
+        .when(fmt_idx == 1, FORMATS[1])
+        .otherwise(FORMATS[2])
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("fmt"),
+            (64 + F.pmod(F.col("n_chars"), F.lit(512))).cast("int").alias("width"),
+            (64 + F.pmod(F.col("n_chars") * 7, F.lit(512))).cast("int")
+            .alias("height"),
+        ).alias("metadata"),
+    )
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("mean_byte", DoubleType()),
+    StructField("features", ArrayType(DoubleType())),
+])
+
+N_FEATURES = 4
+
+
+def _decode_real(payload: bytes):  # pragma: no cover - libs absent here
+    """The real decode path — requires an image library the container
+    doesn't ship. Kept so the seam is explicit."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; container ships neither — "
+        "the deterministic fake below exercises the identical plumbing"
+    )
+
+
+def _decode_fake(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode→feature-extract: chunk the
+    bytes into N_FEATURES windows and take per-window byte means."""
+    n = len(payload)
+    step = max(1, n // N_FEATURES)
+    return [
+        (sum(payload[i: i + step]) / len(payload[i: i + step]))
+        if payload[i: i + step] else 0.0
+        for i in range(0, step * N_FEATURES, step)
+    ][:N_FEATURES]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract as mapInPandas: Arrow-batched, schema
+    pinned, one output row per media row. The pandas batch is the unit
+    of work an executor core processes — no driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # the real decoder would be imported here
+            import PIL  # noqa: F401
+            decode = _decode_real
+        except ImportError:
+            decode = None  # deterministic fake path
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [
+                _decode_fake(p) if decode is None else decode(p)
+                for p in payloads
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": payloads.map(len),
+                "mean_byte": [sum(p) / len(p) if len(p) else 0.0
+                              for p in payloads],
+                "features": feats,
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_bytes", BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame-sampling shape (video analog): one input row fans out to
+    n_frames output rows — byte-slice chunks standing in for decoded
+    frames. mapInPandas because the fan-out ratio is data-dependent in
+    the real case."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                step = max(1, n // n_frames)
+                for fi in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_bytes"].append(payload[fi * step:(fi + 1) * step])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           md5(text) AS payload_md5,
+           64 + n_chars % 512 AS width,
+           64 + (n_chars * 7) % 512 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata path over real binary payloads (EXACT: text is ASCII so
+    byte length == char length and md5 agrees)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("metadata.width").alias("width"),
+        F.col("metadata.height").alias("height"),
+    )
+
+
+@register("q_multimodal_features", oracle=None)  # WEAK: pandas-UDF internals
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub features; determinism + batch shape unit-tested."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
+    )

@@ -1,1 +1,233 @@
-"""Placeholder — queries registered in a later wave."""
+"""Similarity search over embeddings (SURVEY.md §2.2 X-LLM-4/8).
+
+Two rungs, same contract as the dedup ladder:
+
+1. **Brute-force exact cosine top-k** (`q_cosine_topk`): query-set ×
+   corpus with the dot product as a JVM higher-order expression
+   (zip_with + aggregate — no UDF, no Python). Exact; quadratic.
+2. **Sign-LSH bucketed ANN** (`q_ann_lsh_topk`): 16 deterministic ±1
+   hyperplanes → 16-bit bucket; candidates only meet inside a bucket,
+   then exact re-rank. The 100 TB path: the corpus partitions by
+   bucket, queries broadcast to their bucket's partition.
+
+Floats are cast to double *before* any arithmetic (float32 ulps differ
+across engines; double products of exactly-converted floats agree).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+N_QUERY = 100  # query-set bound: vec_id < 100 (scale-stable)
+TOP_K = 5
+N_PLANES = 16
+N_BANDS = 4  # OR-construction: candidate if ANY 4-bit band matches
+DIM = 64
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """<a, b> as a codegen'd fold — left-to-right, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_unit_vec(df: DataFrame, col: str = "embedding",
+                  out: str = "vec") -> DataFrame:
+    """Cast float[]→double[], attach the L2 norm (kept separate rather
+    than pre-normalizing so cosine = dot/(na·nb) matches the oracle's
+    formulation term-for-term)."""
+    return df.withColumn(out, _as_double(F.col(col))).withColumn(
+        "nrm", l2_norm(F.col(out))
+    )
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Ranks by the *rounded* cosine with vec_id tiebreak so the selected
+    row set is stable across engines (an unrounded rank could flip on
+    1-ulp summation differences — SURVEY.md §7.3 item 4 applied to
+    floats)."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vectors.select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("cid") != F.col("qid"))
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bytes (public, seedless —
+    reproducible across sessions and engines)."""
+    planes = []
+    for p in range(n_planes):
+        bits = []
+        i = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"plane-{p}-{i}".encode()).digest()
+            for byte in h:
+                for k in range(8):
+                    bits.append(1.0 if (byte >> k) & 1 else -1.0)
+            i += 1
+        planes.append(bits[:dim])
+    return planes
+
+
+def with_lsh_bands(df: DataFrame, out: str = "band") -> DataFrame:
+    """Banded sign-LSH (OR-construction): 16 hyperplane sign bits split
+    into 4 bands of 4; a pair is a candidate if *any* band agrees.
+    Exact 16-bit bucket equality has near-zero recall on unclustered
+    vectors; banding trades candidate-set size for recall the standard
+    way. Emits one row per (vector, band) keyed (band_idx, band_bits)."""
+    planes = _planes()
+    per_band = N_PLANES // N_BANDS
+    band_structs = []
+    for bi in range(N_BANDS):
+        bits = None
+        for r in range(per_band):
+            plane = planes[bi * per_band + r]
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(dot(F.col("vec"), plane_col) > 0,
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, r)
+            bits = term if bits is None else bits + term
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_idx"), bits.alias("band_bits"))
+        )
+    return df.withColumn(out, F.explode(F.array(*band_structs))).select(
+        *df.columns,
+        F.col(f"{out}.band_idx").alias("band_idx"),
+        F.col(f"{out}.band_bits").alias("band_bits"),
+    )
+
+
+def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Approximate top-k: candidates share any LSH band with the query;
+    exact cosine re-rank on the (deduplicated) candidates. Recall
+    measured vs brute force in tests/test_llm.py."""
+    vb = with_lsh_bands(vectors).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"), "band_idx", "band_bits",
+    )
+    qb = with_lsh_bands(queries).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"), "band_idx", "band_bits",
+    )
+    pairs = (
+        qb.join(vb, ["band_idx", "band_bits"])
+        .filter(F.col("cid") != F.col("qid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH elems AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS e
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM elems GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.e * b.e) AS dp
+        FROM elems a
+        JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERY}
+        GROUP BY 1, 2
+    ), cos AS (
+        SELECT qid, cid,
+               round(dp / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = qid
+        JOIN norms nb ON nb.vec_id = cid
+    )
+    SELECT qid, cid, cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, cid
+               ) AS rn
+        FROM cos
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-4 exact rung: top-5 neighbors for the first 100 vectors."""
+    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return cosine_topk(emb, queries, TOP_K)
+
+
+@register("q_ann_lsh_topk", oracle=None)  # WEAK: approximate by design
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-4 scale rung: bucketed ANN (recall-tested vs brute force)."""
+    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return ann_lsh_topk(emb, queries, TOP_K)
+
+
+@register(
+    "q_embed_join",
+    oracle="""
+    SELECT e.vec_id, e.label, d.lang, d.source
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.label < 5
+    """,
+)
+def q_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-8: multimodal pass-through — the embedding array survives
+    the join/filter untouched; only scalars are projected for hashing
+    (never hash raw float arrays, FIXTURES.md)."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("label") < 5)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("vec_id", "label", "lang", "source")
+    )

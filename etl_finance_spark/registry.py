@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.llm.dedup",
     "etl_finance_spark.llm.similarity",
     "etl_finance_spark.llm.textstats",
+    "etl_finance_spark.llm.multimodal",
     "etl_finance_spark.plans.flagship",
     "etl_finance_spark.functions.udfs",
 )

@@ -1,0 +1,35 @@
+"""Batch sources beyond parquet (SURVEY.md §2.2 X-SRC-2, §2.1 R-SRC-1..3).
+
+The reference ingests from HTTP APIs row-by-row into pandas
+(/root/reference/etl.py:121-134, 255-295, 359-391). The engine's
+equivalents are declarative readers with *explicit schemas* — schema
+inference is a correctness hazard (a month of all-null columns flips
+types) and a perf hazard (an extra full scan) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True) -> DataFrame:
+    """CSV with a declared schema — no inferSchema scan."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines with a declared schema (nested structs/arrays land as
+    native types — the reference's dict-walking at etl.py:273-291
+    becomes plain column access)."""
+    return spark.read.schema(schema).json(path)
+
+
+def from_api_payload(spark: SparkSession, records: list[dict],
+                     schema: StructType) -> DataFrame:
+    """REST-source seam (R-SRC-1..3): a driver-side fetcher hands the
+    payload here; everything after is distributed. The fetch itself
+    stays out of the engine — at scale the listing is parallelized and
+    workers fetch via mapInPandas, but the *plan* shape is identical."""
+    return spark.createDataFrame(records, schema)

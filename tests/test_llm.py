@@ -1,0 +1,76 @@
+"""Property tests for the LLM-pipeline ladder (SURVEY.md §5 layer 3):
+the approximate rungs must agree with their exact oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from etl_finance_spark.catalog import table
+from etl_finance_spark.llm.dedup import (
+    JACCARD_TAU, exact_jaccard_pairs, hamming_distance, minhash_lsh_pairs,
+    simhash,
+)
+from etl_finance_spark.llm.similarity import (
+    TOP_K, ann_lsh_topk, cosine_topk, with_unit_vec,
+)
+
+
+def _docs(spark):
+    return table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.d1, r.d2) for r in exact_jaccard_pairs(docs, JACCARD_TAU).collect()
+    }
+    lsh = {
+        (r.d1, r.d2) for r in minhash_lsh_pairs(docs, JACCARD_TAU).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    # LSH verifies candidates with the exact measure → no false positives
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    # 16 bands × 2 rows: P(candidate | j>=0.8) ≈ 1 - (1 - 0.64)^16 ≈ 1.0
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_simhash_deterministic_and_locality(spark):
+    docs = _docs(spark)
+    a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert a == b  # deterministic across runs
+
+    # identical texts → identical fingerprints (hamming 0)
+    lit = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here entirely unrelated content")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.simhash for r in simhash(lit).collect()}
+    df = spark.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], ["x", "y"]
+    ).select(hamming_distance(F.col("x"), F.col("y")).alias("d"))
+    d_same, d_diff = [r.d for r in df.collect()]
+    assert d_same == 0
+    assert d_diff > 0
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = with_unit_vec(table(spark, SF_SMOKE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 50)
+    brute = cosine_topk(emb, queries, TOP_K).collect()
+    ann = ann_lsh_topk(emb, queries, TOP_K).collect()
+    bset = {(r.qid, r.cid) for r in brute}
+    aset = {(r.qid, r.cid) for r in ann}
+    assert len(bset) == 50 * TOP_K
+    recall = len(aset & bset) / len(bset)
+    # Unclustered synthetic vectors are LSH's worst case; the floor
+    # asserts the banding finds signal, not noise.
+    assert recall >= 0.15, f"recall {recall:.3f}"
+    # every ANN hit must carry the exact cosine of the brute-force path
+    bcos = {(r.qid, r.cid): r.cosine for r in brute}
+    for r in ann:
+        if (r.qid, r.cid) in bcos:
+            assert abs(r.cosine - bcos[(r.qid, r.cid)]) < 1e-9

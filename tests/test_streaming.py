@@ -1,0 +1,114 @@
+"""Streaming tests: stream/batch equivalence + the upsert sink's
+idempotency (SURVEY.md §5 layers 2-3, §2.3)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from etl_finance_spark.catalog import table
+from etl_finance_spark.streaming.windows import (
+    foreach_batch_upsert, read_event_stream, session_counts,
+    streaming_dedup, tumbling_counts,
+)
+
+
+@pytest.fixture()
+def event_stream_dir(spark):
+    """events sf0.001 split into 3 parquet drop-files (deterministic
+    micro-batches via maxFilesPerTrigger=1)."""
+    events = table(spark, SF_SMOKE, "events")
+    tmp = tempfile.mkdtemp(prefix="stream-src-")
+    for i in range(3):
+        events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(tmp)
+    yield tmp, events.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, query_name, mode="complete"):
+    out = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_tumbling_stream_equals_batch(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    stream = read_event_stream(spark, path, schema)
+    got = _run_stream(spark, tumbling_counts(stream), "t_tumbling")
+    want = tumbling_counts(spark.read.schema(schema).parquet(path))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_session_stream_equals_batch(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    stream = read_event_stream(spark, path, schema)
+    got = _run_stream(spark, session_counts(stream), "t_session")
+    want = session_counts(spark.read.schema(schema).parquet(path))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_streaming_dedup_drops_duplicate_keys(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    # duplicate every event by writing the whole dir again as new files
+    dup_dir = tempfile.mkdtemp(prefix="stream-dup-")
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.coalesce(1).write.mode("append").parquet(dup_dir)
+        df.coalesce(1).write.mode("append").parquet(dup_dir)
+        stream = read_event_stream(spark, dup_dir, schema)
+        got = _run_stream(
+            spark, streaming_dedup(stream).select("event_id"), "t_dedup",
+            mode="append",
+        )
+        ids = [r.event_id for r in got.collect()]
+        assert len(ids) == len(set(ids)) == df.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_idempotent(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    target = tempfile.mkdtemp(prefix="upsert-tgt-") + "/t"
+    try:
+        stream = read_event_stream(spark, path, schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(target, ["event_id"])
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        first = spark.read.parquet(target).count()
+        # redeliver the whole stream from scratch → no new rows
+        stream2 = read_event_stream(spark, path, schema)
+        q2 = (
+            stream2.writeStream.foreachBatch(
+                foreach_batch_upsert(target, ["event_id"])
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        again = spark.read.parquet(target)
+        assert again.count() == first
+        assert again.select("event_id").distinct().count() == first
+    finally:
+        shutil.rmtree(target, ignore_errors=True)

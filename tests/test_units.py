@@ -1,0 +1,161 @@
+"""Unit tests on single operators with literal DataFrames — the edge
+cases the fixtures don't force (SURVEY.md §5 layer 2)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from etl_finance_spark.functions.udfs import grouped_weighted_avg, tokenize_udtf
+from etl_finance_spark.llm.multimodal import (
+    extract_features, media_table, sample_frames,
+)
+from etl_finance_spark.operators.core import (
+    drop_empty_strings, fill_nulls_with_mean, union_all, upsert_new_rows,
+)
+from etl_finance_spark.sources.readers import read_csv, read_json
+from etl_finance_spark.sources.sinks import write_partitioned, write_upsert
+
+from conftest import SF_SMOKE
+
+
+def test_fill_nulls_with_mean_literal(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0)],
+        StructType([StructField("id", LongType()),
+                    StructField("v", DoubleType())]),
+    )
+    got = {r.id: r.v for r in fill_nulls_with_mean(df, ["v"]).collect()}
+    assert got == {1: 10.0, 2: 15.0, 3: 20.0}
+
+
+def test_upsert_new_rows_dedups_and_anti_joins(spark):
+    incoming = spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    target = spark.createDataFrame([(2, "already")], ["k", "v"])
+    got = upsert_new_rows(incoming, target, ["k"])
+    keys = sorted(r.k for r in got.collect())
+    assert keys == [1, 3]  # 1 deduped, 2 suppressed by the target
+
+
+def test_union_all_empty_and_order(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,)], ["x"])
+    assert sorted(r.x for r in union_all([a, b]).collect()) == [1, 2]
+    with pytest.raises(ValueError):
+        union_all([])
+
+
+def test_drop_empty_strings_edge(spark):
+    df = spark.createDataFrame(
+        [("", "x"), ("y", ""), ("a", "b"), (" ", "c")], ["s", "t"]
+    )
+    got = sorted((r.s, r.t) for r in drop_empty_strings(df, "s", "t").collect())
+    assert got == [(" ", "c"), ("a", "b")]  # whitespace is not empty
+
+
+def test_grouped_weighted_avg(spark):
+    df = spark.createDataFrame(
+        [("g1", 10.0, 1.0), ("g1", 20.0, 3.0), ("g2", 5.0, 2.0)],
+        ["k", "v", "w"],
+    )
+    got = {r.k: r.weighted_avg
+           for r in grouped_weighted_avg(df, "k", "v", "w").collect()}
+    assert got["g1"] == pytest.approx((10 + 60) / 4)
+    assert got["g2"] == pytest.approx(5.0)
+
+
+def test_tokenize_udtf(spark):
+    tok = tokenize_udtf()
+    spark.udtf.register("tokenize_t", tok)
+    rows = spark.sql(
+        "SELECT t.* FROM tokenize_t('a b c') AS t"
+    ).collect()
+    assert [(r.idx, r.token) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_csv_json_readers(spark):
+    tmp = tempfile.mkdtemp(prefix="readers-")
+    try:
+        schema = StructType([
+            StructField("id", LongType()), StructField("name", StringType()),
+        ])
+        with open(f"{tmp}/d.csv", "w") as f:
+            f.write("id,name\n1,alpha\n2,beta\n")
+        with open(f"{tmp}/d.json", "w") as f:
+            f.write('{"id": 3, "name": "gamma"}\n{"id": 4, "name": "delta"}\n')
+        csv_rows = sorted(map(tuple, read_csv(spark, f"{tmp}/d.csv", schema).collect()))
+        json_rows = sorted(map(tuple, read_json(spark, f"{tmp}/d.json", schema).collect()))
+        assert csv_rows == [(1, "alpha"), (2, "beta")]
+        assert json_rows == [(3, "gamma"), (4, "delta")]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partitioned_write_roundtrip(spark):
+    tmp = tempfile.mkdtemp(prefix="part-") + "/t"
+    try:
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], ["id", "p", "v"]
+        )
+        write_partitioned(df, tmp, ["p"])
+        back = spark.read.parquet(tmp)
+        assert back.count() == 3
+        # partition pruning: only the p=a directory is read
+        pruned = back.filter(F.col("p") == "a")
+        assert pruned.count() == 2
+        files = pruned.select(F.input_file_name()).distinct().collect()
+        assert all("p=a" in r[0] for r in files)
+    finally:
+        shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_write_upsert_parquet(spark):
+    tmp = tempfile.mkdtemp(prefix="upsert-") + "/t"
+    try:
+        a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+        write_upsert(spark, a, tmp, ["k"])
+        b = spark.createDataFrame([(2, "y2"), (3, "z")], ["k", "v"])
+        write_upsert(spark, b, tmp, ["k"])
+        back = sorted((r.k, r.v) for r in spark.read.parquet(tmp).collect())
+        assert back == [(1, "x"), (2, "y"), (3, "z")]  # 2 kept original
+    finally:
+        shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_multimodal_features_deterministic(spark):
+    media = media_table(spark, SF_SMOKE).limit(50)
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+    assert all(len(r[3]) == 4 for r in a)  # 4-dim feature stub
+
+
+def test_multimodal_frame_sampling(spark):
+    media = media_table(spark, SF_SMOKE).limit(20)
+    frames = sample_frames(media, n_frames=3).collect()
+    assert len(frames) == 60
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
+        assert all(len(r.frame_bytes) > 0 for r in rows)
+
+
+def test_approx_distinct_error_bound(spark):
+    from etl_finance_spark.catalog import table as t
+
+    li = t(spark, SF_SMOKE, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.1
