@@ -263,6 +263,52 @@ def q_unix_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multi_format_ts",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 3
+                    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+                    WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    ELSE strftime(o_orderdate, '%d-%m-%Y') END AS ds
+        FROM orders
+    )
+    SELECT o_orderkey, ds,
+           CAST(floor(epoch(coalesce(
+               try_strptime(ds, '%Y-%m-%dT%H:%M:%S'),
+               try_strptime(ds, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(ds, '%d-%m-%Y')))) AS BIGINT) AS epoch_s
+    FROM raw
+    """,
+)
+def q_multi_format_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-DT-2 (etl.py:33-49): the reference parses heterogeneous date
+    representations via exception-driven fallbacks (TypeError as
+    control flow); the engine's form is a coalesce of try_to_timestamp
+    attempts — declarative, null-safe, vectorized. Input heterogeneity
+    is synthesized by formatting o_orderdate three different ways."""
+    o = table(spark, sf_dir, "orders")
+    ds = (
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 3 == 1,
+              F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("ds"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.col("ds"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("ds"), F.lit("dd-MM-yyyy")),
+    )
+    return (
+        o.withColumn("ds", ds)
+        .select(
+            "o_orderkey", "ds", F.unix_timestamp(parsed).alias("epoch_s")
+        )
+    )
+
+
+@register(
     "q_month_seq",
     oracle="""
     SELECT CAST(unnest(generate_series(DATE '2017-01-01', DATE '2018-01-01',
