@@ -77,7 +77,7 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("tagged"),
         F.substring("c_name", 1, 8).alias("prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.upper(F.col("c_mktsegment"))).alias("seg_up"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
     )
@@ -101,11 +101,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(od).alias("y"),
-        F.month(od).alias("m"),
-        F.dayofmonth(od).alias("d"),
+        F.year(od).cast("long").alias("y"),
+        F.month(od).cast("long").alias("m"),
+        F.dayofmonth(od).cast("long").alias("d"),
         F.date_trunc("month", od).cast("date").alias("month_start"),
-        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
             "days_since"
         ),
         F.date_add(od.cast("date"), 30).alias("due_date"),
@@ -157,7 +157,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "hash").alias("has_hash"),
         F.element_at(toks, 1).alias("first_token"),
         F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias(

@@ -162,8 +162,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
-        F.col("metadata.width").alias("width"),
-        F.col("metadata.height").alias("height"),
+        F.col("metadata.width").cast("long").alias("width"),
+        F.col("metadata.height").cast("long").alias("height"),
     )
 
 

@@ -45,8 +45,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.round(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
             / F.size(toks),
@@ -61,7 +61,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
            round(avg(n_chars), 6) AS avg_chars,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source
     """,
@@ -129,9 +129,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     scored = d.select(
         "doc_id",
-        _marker_hits(toks, _MARKERS["sql"]).alias("s_sql"),
-        _marker_hits(toks, _MARKERS["exec"]).alias("s_exec"),
-        _marker_hits(toks, _MARKERS["perf"]).alias("s_perf"),
+        _marker_hits(toks, _MARKERS["sql"]).cast("long").alias("s_sql"),
+        _marker_hits(toks, _MARKERS["exec"]).cast("long").alias("s_exec"),
+        _marker_hits(toks, _MARKERS["perf"]).cast("long").alias("s_perf"),
     )
     return scored.withColumn(
         "profile",
@@ -204,8 +204,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(
                 F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
             )
-        ).alias("bpe_ish"),
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        ).cast("long").alias("bpe_ish"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
     )
 
 

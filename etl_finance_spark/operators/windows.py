@@ -30,7 +30,7 @@ from etl_finance_spark.registry import register
 def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
 
 
 @register(
@@ -50,8 +50,8 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -120,7 +120,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique tiebreak making tile assignment deterministic."""
     orders = table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    return orders.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
 @register(

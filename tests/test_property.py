@@ -1,0 +1,139 @@
+"""Hypothesis property tests (SURVEY.md §5 layer 3): algebraic pairs
+that must agree — LSH vs exact Jaccard, session windows vs a Python
+gaps-and-islands reference (including the gap == threshold boundary),
+upsert idempotency. Few examples, large strategy per example (each
+example costs Spark jobs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampNTZType,
+)
+
+from etl_finance_spark.llm.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+from etl_finance_spark.operators.core import upsert_new_rows
+from etl_finance_spark.streaming.windows import session_counts
+
+_SPARK = None
+
+
+def _get_spark():
+    global _SPARK
+    if _SPARK is None:
+        from etl_finance_spark.session import get_spark
+
+        _SPARK = get_spark("property", cpus=8, shuffle_partitions=8)
+        _SPARK.sparkContext.setLogLevel("ERROR")
+    return _SPARK
+
+
+VOCAB = [f"w{i}" for i in range(12)]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=10),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs_strategy)
+def test_lsh_pairs_subset_of_exact(token_lists):
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    tau = 0.6
+    exact = {(r.d1, r.d2) for r in exact_jaccard_pairs(docs, tau).collect()}
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, tau).collect()}
+    # verification step guarantees no false positives, any corpus
+    assert lsh <= exact
+
+
+# timestamps on a 1-minute grid around the 30-minute session gap so the
+# gap == threshold boundary is exercised often
+ts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=240),        # minutes offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _sessions_reference(rows, gap_minutes=30):
+    """Python gaps-and-islands: new session when diff >= gap."""
+    out = {}
+    by_user = {}
+    for uid, m in rows:
+        by_user.setdefault(uid, []).append(m)
+    for uid, ms in by_user.items():
+        ms.sort()
+        start = ms[0]
+        count = 0
+        prev = None
+        for m in ms:
+            if prev is not None and m - prev >= gap_minutes:
+                out[(uid, start)] = count
+                start, count = m, 0
+            count += 1
+            prev = m
+        out[(uid, start)] = count
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ts_strategy)
+def test_session_window_matches_gaps_and_islands(rows):
+    spark = _get_spark()
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(uid, base + dt.timedelta(minutes=m)) for uid, m in rows],
+        StructType([StructField("user_id", LongType()),
+                    StructField("ts", TimestampNTZType())]),
+    )
+    got = {
+        (r.user_id, r.session_start): r.n
+        for r in session_counts(df).collect()
+    }
+    base_epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    want = {
+        (uid, base_epoch + start_min * 60): n
+        for (uid, start_min), n in _sessions_reference(rows).items()
+    }
+    assert got == want
+
+
+keyed_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.text(max_size=4)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keyed_rows, keyed_rows)
+def test_upsert_idempotent_and_key_unique(incoming_rows, target_rows):
+    spark = _get_spark()
+    schema = StructType([StructField("k", LongType()),
+                         StructField("v", StringType())])
+    incoming = spark.createDataFrame(incoming_rows, schema)
+    target = spark.createDataFrame(target_rows, schema)
+    fresh = upsert_new_rows(incoming, target, ["k"])
+    fresh_keys = [r.k for r in fresh.select("k").collect()]
+    target_keys = {k for k, _ in target_rows}
+    # no duplicates within the fresh batch, no overlap with the target
+    assert len(fresh_keys) == len(set(fresh_keys))
+    assert not (set(fresh_keys) & target_keys)
+    # union covers exactly the incoming-minus-target key set
+    assert set(fresh_keys) == {k for k, _ in incoming_rows} - target_keys
