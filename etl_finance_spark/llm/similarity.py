@@ -104,51 +104,73 @@ def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def with_lsh_bands(df: DataFrame, out: str = "band") -> DataFrame:
+def _planes_df(spark: SparkSession) -> DataFrame:
+    """The hyperplane set as a 16-row broadcast table (band_idx, r,
+    plane). A literal-expression encoding (16×64 literals inlined into
+    one projection) costs seconds of codegen; a tiny broadcast join
+    costs nothing and keeps the plan readable."""
+    planes = _planes()
+    per_band = N_PLANES // N_BANDS
+    rows = [
+        (bi, r, planes[bi * per_band + r])
+        for bi in range(N_BANDS)
+        for r in range(per_band)
+    ]
+    return spark.createDataFrame(
+        rows, "band_idx int, r int, plane array<double>"
+    )
+
+
+def lsh_band_keys(df: DataFrame) -> DataFrame:
     """Banded sign-LSH (OR-construction): 16 hyperplane sign bits split
     into 4 bands of 4; a pair is a candidate if *any* band agrees.
     Exact 16-bit bucket equality has near-zero recall on unclustered
     vectors; banding trades candidate-set size for recall the standard
-    way. Emits one row per (vector, band) keyed (band_idx, band_bits)."""
-    planes = _planes()
-    per_band = N_PLANES // N_BANDS
-    band_structs = []
-    for bi in range(N_BANDS):
-        bits = None
-        for r in range(per_band):
-            plane = planes[bi * per_band + r]
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bit = F.when(dot(F.col("vec"), plane_col) > 0,
-                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, r)
-            bits = term if bits is None else bits + term
-        band_structs.append(
-            F.struct(F.lit(bi).alias("band_idx"), bits.alias("band_bits"))
-        )
-    return df.withColumn(out, F.explode(F.array(*band_structs))).select(
-        *df.columns,
-        F.col(f"{out}.band_idx").alias("band_idx"),
-        F.col(f"{out}.band_bits").alias("band_bits"),
+    way. Emits (vec_id, band_idx, band_bits) — ids only; vectors
+    re-attach after candidate dedup."""
+    spark = df.sparkSession
+    j = df.select("vec_id", "vec").crossJoin(F.broadcast(_planes_df(spark)))
+    bit = (
+        F.when(dot(F.col("vec"), F.col("plane")) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        j.withColumn("bit", bit)
+        .groupBy("vec_id", "band_idx")
+        .agg(F.sum(F.expr("shiftleft(bit, r)")).alias("band_bits"))
     )
 
 
 def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     """Approximate top-k: candidates share any LSH band with the query;
     exact cosine re-rank on the (deduplicated) candidates. Recall
-    measured vs brute force in tests/test_llm.py."""
-    vb = with_lsh_bands(vectors).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"), "band_idx", "band_bits",
+    measured vs brute force in tests/test_llm.py.
+
+    Shuffle hygiene: the band join + pair dedup carries only ids — the
+    64-dim vectors attach *after* dedup (shuffling arrays through a
+    distinct would dominate the plan at scale)."""
+    vb = lsh_band_keys(vectors).select(
+        F.col("vec_id").alias("cid"), "band_idx", "band_bits",
     )
-    qb = with_lsh_bands(queries).select(
-        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"), "band_idx", "band_bits",
+    qb = lsh_band_keys(queries).select(
+        F.col("vec_id").alias("qid"), "band_idx", "band_bits",
     )
-    pairs = (
+    cand = (
         qb.join(vb, ["band_idx", "band_bits"])
         .filter(F.col("cid") != F.col("qid"))
-        .dropDuplicates(["qid", "cid"])
+        .select("qid", "cid")
+        .distinct()
     )
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = vectors.select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = cand.join(F.broadcast(qv), "qid").join(cv, "cid")
     cos = F.round(
         dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
     )

@@ -210,6 +210,60 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency × ln(N/df), the
+    canonical keyword extraction. df is tiny (≤ vocab), so it joins back
+    broadcast; ranking uses the rounded score + term tiebreak so the row
+    set is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.count()  # scalar corpus size; literal in the plan
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
     SELECT doc_id,

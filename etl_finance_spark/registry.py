@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.operators.aggregates",
     "etl_finance_spark.operators.windows",
     "etl_finance_spark.operators.setops",
+    "etl_finance_spark.operators.reshape",
     "etl_finance_spark.functions.families",
     "etl_finance_spark.streaming.windows",
     "etl_finance_spark.llm.dedup",
