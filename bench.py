@@ -4,10 +4,10 @@ Prints ONE JSON line:
     {"metric": "total_declared_query_time", "value": N, "unit": "sec",
      "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count + a cheap checksum collect of
-the aggregated frame is avoided — we force computation with ``count()``
-on the result, which runs the full plan; results are small projections so
-write-out cost would dominate otherwise).
+Each query is executed to completion through the ``noop`` sink — unlike
+``count()`` (which lets Catalyst prune every projected column away), the
+noop writer evaluates every output column of every row, so projection-
+heavy queries are honestly measured without paying real write-out cost.
 """
 
 from __future__ import annotations
@@ -30,16 +30,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.collect()
     timings: dict[str, float] = {}
+    def run(spec) -> None:
+        df = spec.fn(spark, sf_dir)
+        if df.isStreaming:  # pragma: no cover - no streaming declared
+            raise ValueError("bench runs batch plans only")
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM/codegen once with the cheapest query so q-times are
     # not dominated by first-job startup.
     first = specs.get("q_scan_parquet")
     if first is not None:
-        first.fn(spark, sf_dir).count()
+        run(first)
     total = 0.0
     for name, spec in sorted(specs.items()):
         t0 = time.time()
         try:
-            spec.fn(spark, sf_dir).count()
+            run(spec)
             dt = time.time() - t0
         except Exception:
             dt = float("nan")

@@ -512,11 +512,11 @@ def q_fillna_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            user_id,
-           round(coalesce(
-               value / lag(value) OVER (
+           floor(coalesce(
+               value / nullif(lag(value) OVER (
                    PARTITION BY user_id
                    ORDER BY date_trunc('microseconds', ts), event_id
-               ) - 1, 0.0), 6) AS pct_change
+               ), 0.0) - 1, 0.0) * 1000000 + 0.5) / 1000000 AS pct_change
     FROM events
     """,
 )
@@ -531,13 +531,19 @@ def q_pct_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # try_divide: zero previous value → null → 0 via the coalesce (ANSI
+    # `/` would raise; DuckDB's `/` returns NULL — try_divide matches it).
+    # Rounding via the explicit floor formula, identical on both engines:
+    # library round() implementations disagree on rare boundary doubles
+    # (observed at sf0.1), while the same IEEE expression cannot.
+    pct = F.coalesce(
+        F.try_divide(F.col("value"), F.lag("value", 1).over(w)) - 1,
+        F.lit(0.0),
+    )
     return df.select(
         "event_id",
         "user_id",
-        F.round(
-            F.coalesce(F.col("value") / F.lag("value", 1).over(w) - 1, F.lit(0.0)),
-            6,
-        ).alias("pct_change"),
+        (F.floor(pct * 1000000 + F.lit(0.5)) / 1000000).alias("pct_change"),
     )
 
 

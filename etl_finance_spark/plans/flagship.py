@@ -29,10 +29,10 @@ WITH lagged AS (
         date_trunc('hour', ts) AS hour_ts,
         value,
         coalesce(
-            value / lag(value) OVER (
+            value / nullif(lag(value) OVER (
                 PARTITION BY user_id
                 ORDER BY date_trunc('microseconds', ts), event_id
-            ) - 1,
+            ), 0.0) - 1,
             0.0
         ) AS pct_change
     FROM events
@@ -59,8 +59,10 @@ def pct_change_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
         F.col("value"),
+        # try_divide: a zero previous value yields null → 0 (ANSI `/`
+        # raises; DuckDB `/` returns NULL — try_divide matches it)
         F.coalesce(
-            F.col("value") / F.lag("value", 1).over(w) - F.lit(1.0),
+            F.try_divide(F.col("value"), F.lag("value", 1).over(w)) - F.lit(1.0),
             F.lit(0.0),
         ).alias("pct_change"),
     )

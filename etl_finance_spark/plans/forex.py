@@ -63,7 +63,9 @@ def transform_forex(df: DataFrame) -> DataFrame:
     one global partition."""
     long = df.unpivot("short_date", list(RATE_COLS), "currency", "rate")
     w = Window.partitionBy("currency").orderBy("short_date")
-    delta = F.coalesce(F.col("rate") / F.lag("rate", 1).over(w) - 1, F.lit(0.0))
+    delta = F.coalesce(
+        F.try_divide(F.col("rate"), F.lag("rate", 1).over(w)) - 1, F.lit(0.0)
+    )
     long = long.withColumn("delta", delta)
     wide = (
         long.groupBy("short_date")

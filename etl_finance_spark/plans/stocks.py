@@ -77,8 +77,10 @@ def transform_stocks(df: DataFrame) -> DataFrame:
     """R-DT-1/2 + R-WIN-1 (etl.py:154-170): date encodings + per-ticker
     lag-1 percent changes, null→0 for each ticker's first bar."""
     w = Window.partitionBy("stock_name").orderBy("date")
-    pct_ret = F.col("price_open") / F.lag("price_close", 1).over(w) - 1
-    pct_vol = F.col("volume") / F.lag("volume", 1).over(w) - 1
+    # try_divide: zero/absent previous bar → null → 0 via the coalesce
+    pct_ret = F.try_divide(F.col("price_open"),
+                           F.lag("price_close", 1).over(w)) - 1
+    pct_vol = F.try_divide(F.col("volume"), F.lag("volume", 1).over(w)) - 1
     return df.select(
         F.unix_timestamp("date").alias("time_stamp"),
         F.date_format("date", "dd-MM-yyyy").alias("short_date"),
