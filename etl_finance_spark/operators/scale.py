@@ -1,0 +1,59 @@
+"""Scale-path join strategies (SURVEY.md §4 100 TB notes).
+
+Not declared queries — these are the library operators a 100 TB
+deployment composes with everything else, each with a plan-asserting
+test (tests/test_scale.py):
+
+- **Bucketed co-located join**: both fact tables written bucketBy the
+  join key → the sort-merge join reads bucket-aligned files and the
+  per-join shuffle disappears entirely (the dominant cost of fact-fact
+  joins at scale, amortized into the write).
+- **Salted skew join**: a hot key floods one reducer; salting fans the
+  big side across `salt` sub-keys and replicates the small side per
+  sub-key. AQE's skew-join split (enabled in session.py) handles
+  moderate skew automatically; explicit salting is for the pathological
+  key that exceeds a single executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, name: str, keys: Sequence[str],
+                   n_buckets: int = 8) -> None:
+    """Persist as a managed table bucketed (and sorted) by the join key.
+    Readers joining two tables bucketed identically skip the shuffle
+    AND the sort."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(name)
+    )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                *, salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with the big side salted across ``salt`` sub-keys.
+
+    The big side gets a deterministic pseudo-random salt (hash of a
+    per-row id — not rand(), so retried tasks produce identical rows);
+    the small side replicates once per salt value. Join key becomes
+    (key, salt): the hot key's rows spread over ``salt`` reducers.
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt)])
+    replicated_small = small.withColumn(
+        "__salt", F.explode(salts)
+    )
+    out = salted_big.join(replicated_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -46,5 +46,8 @@ def get_spark(app_name: str = "etl-finance-spark", *, cpus: int | None = None,
         # natively; read as long (ns since epoch), converted to a µs
         # timestamp in catalog.table (FIXTURES.md caution on ns).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketing) land outside the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
     )
     return builder.getOrCreate()

@@ -1,0 +1,78 @@
+"""Plan-level tests for the scale-path join strategies: the claims
+("no shuffle", "same results") are asserted against the physical plan
+and against the plain-join output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.operators.scale import salted_join, write_bucketed
+
+from conftest import SF_SMOKE
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    orders = table(spark, SF_SMOKE, "orders")
+    lineitem = table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                   "t_orders_b", ["o_orderkey"], 4)
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "t_lineitem_b",
+        ["l_orderkey"], 4,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        # and the result matches the plain (shuffled) join
+        assert joined.count() == orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # pathological skew: 90% of the big side on one key
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i % 7, f"r{i}") for i in range(2000)], ["k", "v"]
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], ["k", "name"]
+    )
+    plain = (
+        big.join(small, "k")
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(big, small, "k", salt=8)
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "orphan")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(big, small, "k", how="left",
+                                             salt=4).collect()
+    )
+    assert got == [(1, "a", "x"), (2, "b", "y"), (99, "orphan", None)]
