@@ -371,6 +371,46 @@ def q_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_array_field",
+    oracle="""
+    WITH structs AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> struct_pack(tok := t, ln := length(t)))
+                   AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(toks, s -> s.tok), ' ') AS token_str,
+           CAST(list_sum(list_transform(toks, s -> CAST(s.ln AS BIGINT)))
+                AS BIGINT) AS total_len
+    FROM structs
+    """,
+)
+def q_array_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-ARR-2 (etl.py:278,286): project one field out of each struct in
+    an array — the reference's `[i['value'] for i in keywords]`. No
+    struct-array column in fixtures → construct-then-inspect (same
+    policy as q_map_funcs): tokens become structs, then per-field
+    extraction and a fold over the numeric field."""
+    d = table(spark, sf_dir, "documents")
+    structs = F.transform(
+        F.split("text", " "),
+        lambda t: F.struct(t.alias("tok"), F.length(t).alias("ln")),
+    )
+    toks = F.col("toks")
+    return d.withColumn("toks", structs).select(
+        "doc_id",
+        F.array_join(F.transform(toks, lambda s: s.tok), " ").alias("token_str"),
+        F.aggregate(
+            F.transform(toks, lambda s: s.ln.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+    )
+
+
+@register(
     "q_to_json",
     oracle="""
     SELECT doc_id,

@@ -52,8 +52,10 @@ def sliding_counts(events: DataFrame) -> DataFrame:
 
 def session_counts(events: DataFrame) -> DataFrame:
     """X-STR-3: per-user session windows with a 30-minute gap. A new
-    session starts when the gap since the previous event is >= the
-    threshold (Spark's session window spans [first, last+gap))."""
+    session starts only when the gap since the previous event EXCEEDS
+    the threshold — Spark merges an event landing exactly at last+gap
+    (verified by a hypothesis counterexample; the oracle mirrors with a
+    strict `>`)."""
     return (
         events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -168,7 +170,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, date_trunc('microseconds', ts) AS ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts))
@@ -189,6 +191,6 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window vs the classic gaps-and-islands oracle; boundary
-    semantics pinned to gap >= threshold on both sides (SURVEY.md §7.3
-    item 5)."""
+    semantics pinned to strictly-greater-than-gap on both sides
+    (SURVEY.md §7.3 item 5; Spark merges at exact-gap distance)."""
     return session_counts(table(spark, sf_dir, "events"))

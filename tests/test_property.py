@@ -70,7 +70,8 @@ ts_strategy = st.lists(
 
 
 def _sessions_reference(rows, gap_minutes=30):
-    """Python gaps-and-islands: new session when diff >= gap."""
+    """Python gaps-and-islands: new session when diff > gap (Spark
+    merges an event at exactly last+gap — found by hypothesis)."""
     out = {}
     by_user = {}
     for uid, m in rows:
@@ -81,7 +82,7 @@ def _sessions_reference(rows, gap_minutes=30):
         count = 0
         prev = None
         for m in ms:
-            if prev is not None and m - prev >= gap_minutes:
+            if prev is not None and m - prev > gap_minutes:
                 out[(uid, start)] = count
                 start, count = m, 0
             count += 1
