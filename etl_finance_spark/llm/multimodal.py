@@ -77,14 +77,19 @@ def _decode_real(payload: bytes):  # pragma: no cover - libs absent here
 
 def _decode_fake(payload: bytes) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: chunk the
-    bytes into N_FEATURES windows and take per-window byte means."""
-    n = len(payload)
-    step = max(1, n // N_FEATURES)
-    return [
-        (sum(payload[i: i + step]) / len(payload[i: i + step]))
-        if payload[i: i + step] else 0.0
-        for i in range(0, step * N_FEATURES, step)
-    ][:N_FEATURES]
+    bytes into N_FEATURES windows and take per-window byte means
+    (numpy-vectorized — the batch shape a real decoder would use)."""
+    import numpy as np
+
+    if not payload:
+        return [0.0] * N_FEATURES
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    step = max(1, len(arr) // N_FEATURES)
+    out = []
+    for i in range(0, step * N_FEATURES, step):
+        chunk = arr[i: i + step]
+        out.append(float(chunk.mean()) if chunk.size else 0.0)
+    return out[:N_FEATURES]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -98,6 +103,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             decode = _decode_real
         except ImportError:
             decode = None  # deterministic fake path
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
             feats = [
@@ -107,8 +114,10 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(len),
-                "mean_byte": [sum(p) / len(p) if len(p) else 0.0
-                              for p in payloads],
+                "mean_byte": [
+                    float(np.frombuffer(p, dtype=np.uint8).mean()) if p else 0.0
+                    for p in payloads
+                ],
                 "features": feats,
             })
 

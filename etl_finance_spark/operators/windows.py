@@ -180,6 +180,56 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS n_similar_cheaper
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): peers within a price
+    band — counts are tie-stable so no tiebreak key is needed."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+    )
+
+
+@register(
+    "q_win_pct_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(percent_rank() OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS pr,
+           round(cume_dist() OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS cd
+    FROM lineitem
+    """,
+)
+def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist — tie-stable relative ranks (both engines
+    share the (rank-1)/(n-1) and rank_hi/n definitions)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
     "q_topk",
     oracle="""
     SELECT o_orderkey, o_totalprice

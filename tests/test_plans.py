@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale posture README claims
+(pushdown, broadcast, TakeOrdered, partial agg, entity-partitioned
+windows) must survive refactors — asserted against .explain output."""
+
+from __future__ import annotations
+
+from etl_finance_spark import registry
+
+from conftest import SF_CORRECT
+
+SPECS = registry.collect()
+
+
+def _formatted(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _simple(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "q_filter_range")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 4 referenced columns in ReadSchema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _simple(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _simple(spark, "q_topk")
+    assert "TakeOrderedAndProject" in _simple(spark, "q_revenue_topk")
+
+
+def test_agg_partial_before_shuffle(spark):
+    plan = _simple(spark, "q_agg_groupby")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("HashAggregate")
+
+
+def test_window_partitions_by_entity(spark):
+    plan = _simple(spark, "q_pct_change_lag")
+    assert "hashpartitioning(user_id" in plan  # never a global sort
+
+
+def test_no_python_udf_in_builtin_paths(spark):
+    for name in ("q_agg_groupby", "q_pct_change_lag", "q_cosine_topk",
+                 "q_jaccard_pairs", "q_text_stats"):
+        plan = _simple(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
