@@ -1,0 +1,121 @@
+"""Composite analytics over the event stream — the query shapes a user
+of the engine runs daily (cohort retention, funnels, ordered string
+aggregation). Each composes §2 operators into one multi-stage plan, so
+they double as integration tests of the operator library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           datediff('week', f.cohort_week, a.week) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent active week. Two aggregations sharing the
+    events scan; the cohort map is small and broadcasts into the join."""
+    events = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = events.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH stage_ts AS (
+        SELECT user_id,
+               min(date_trunc('microseconds', ts))
+                   FILTER (event_type = 'view') AS t_view,
+               min(date_trunc('microseconds', ts))
+                   FILTER (event_type = 'click') AS t_click,
+               min(date_trunc('microseconds', ts))
+                   FILTER (event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (t_view IS NOT NULL) AS saw,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+               AS clicked_after_view,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS purchased_after_click
+    FROM stage_ts
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    per stage in ONE aggregation pass (conditional min), then ordering
+    predicates — no self-joins, no window over the whole stream."""
+    events = table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("saw"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey)
+               AS segs
+    FROM customer
+    WHERE c_custkey <= 100
+    GROUP BY c_nationkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 listagg ↔ DuckDB string_agg
+    with ORDER BY) — order fully pinned on both sides."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return cust.groupBy("c_nationkey").agg(
+        F.expr(
+            "listagg(c_mktsegment, ',') "
+            "WITHIN GROUP (ORDER BY c_mktsegment, c_custkey)"
+        ).alias("segs")
+    )

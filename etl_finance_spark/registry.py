@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.llm.textstats",
     "etl_finance_spark.llm.multimodal",
     "etl_finance_spark.plans.flagship",
+    "etl_finance_spark.plans.analytics",
     "etl_finance_spark.functions.udfs",
 )
 
