@@ -88,6 +88,28 @@ def fill_nulls_with_mean(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return filled.drop(*[f"__mean_{c}" for c in cols])
 
 
+def month_range(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """R-DT-3 + R-CTL-3 (etl.py:234-251): inclusive month starts between
+    two YYYY-MM-DD endpoints, with *working* argument validation (the
+    reference's month check `12 <= start_month <= 0` is always-false
+    dead code, and its ordering check raises only sometimes)."""
+    import datetime as _dt
+
+    s = _dt.date.fromisoformat(start)
+    e = _dt.date.fromisoformat(end)
+    if s > e:
+        raise ValueError(f"start {start!r} is after end {end!r}")
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.trunc(F.lit(start).cast("date"), "MM"),
+                F.trunc(F.lit(end).cast("date"), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+
+
 def dedup_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Dedup half of R-SNK-2 (etl.py:182-191): unique-index semantics."""
     return df.dropDuplicates(list(keys))

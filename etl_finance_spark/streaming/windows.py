@@ -83,8 +83,19 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
 
 def streaming_dedup(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """X-STR-5: keyed dedup with watermark-bounded state (the streaming
-    generalization of R-SNK-2's unique-index contract)."""
-    return with_watermark(events, delay).dropDuplicates(["event_id"])
+    generalization of R-SNK-2's unique-index contract).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on
+    a non-event-time key keeps state FOREVER and never drops late rows
+    (watermark only applies when the event-time column is in the keys —
+    verified empirically); the WithinWatermark variant is the bounded-
+    state form a 100 TB stream requires."""
+    if not events.isStreaming:
+        # batch semantics: identical to the unique-key dedup
+        return events.dropDuplicates(["event_id"])
+    return with_watermark(events, delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def read_event_stream(spark: SparkSession, path: str,

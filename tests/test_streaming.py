@@ -112,3 +112,86 @@ def test_foreach_batch_upsert_idempotent(spark, event_stream_dir):
         assert again.select("event_id").distinct().count() == first
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+def test_sliding_stream_equals_batch(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    from etl_finance_spark.streaming.windows import sliding_counts
+
+    stream = read_event_stream(spark, path, schema)
+    got = _run_stream(spark, sliding_counts(stream), "t_sliding")
+    want = sliding_counts(spark.read.schema(schema).parquet(path))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_watermark_bounds_dedup_state(spark):
+    """X-STR-4/5 observable: dropDuplicatesWithinWatermark evicts a
+    key's dedup state once the watermark passes its expiry — the
+    bounded-state contract, read deterministically from the state-store
+    metrics (numRowsRemoved) with lexically-ordered micro-batches.
+
+    (Empirically pinned semantics: late input rows are NOT dropped by
+    this operator — numRowsDroppedByWatermark stays 0 — and duplicates
+    are only guaranteed removed when they arrive within the delay;
+    what the watermark bounds is the STATE, which is what matters for
+    a 100 TB stream.)"""
+    import datetime as dt
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampNTZType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    src = tempfile.mkdtemp(prefix="wm-src-")
+    staging = tempfile.mkdtemp(prefix="wm-stage-")
+    try:
+        batches = [
+            [(1, base)],                          # state: {1}
+            [(2, base + dt.timedelta(hours=2))],  # watermark → +1h50m
+            [(3, base + dt.timedelta(hours=2, minutes=1))],  # 1 evicted here
+        ]
+        for i, rows in enumerate(batches):
+            d = f"{staging}/{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            part = glob.glob(f"{d}/part-*.parquet")[0]
+            # lexical names pin micro-batch order under maxFilesPerTrigger=1
+            shutil.copy(part, f"{src}/batch-{i}.parquet")
+        stream = read_event_stream(spark, src, schema)
+        out = (
+            streaming_dedup(stream, delay="10 minutes")
+            .select("event_id")
+            .writeStream.format("memory")
+            .queryName("t_wm_evict")
+            .outputMode("append")
+            .start()
+        )
+        out.processAllAvailable()
+        removed = sum(
+            p["stateOperators"][0]["numRowsRemoved"]
+            for p in out.recentProgress
+            if p["stateOperators"]
+        )
+        final_state = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in out.recentProgress
+            if p["stateOperators"]
+        ][-1]
+        out.stop()
+        ids = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM t_wm_evict").collect()
+        )
+        assert ids == [1, 2, 3]
+        assert removed >= 1          # id 1's entry was evicted
+        assert final_state < len(ids)  # state stays bounded below key count
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)

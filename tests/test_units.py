@@ -159,3 +159,13 @@ def test_approx_distinct_error_bound(spark):
         F.approx_count_distinct("l_partkey", 0.02).alias("a")
     ).collect()[0].a
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_month_range_validation_and_values(spark):
+    from etl_finance_spark.operators.core import month_range
+
+    months = [r.month_start.isoformat()
+              for r in month_range(spark, "2017-01-15", "2017-04-02").collect()]
+    assert months == ["2017-01-01", "2017-02-01", "2017-03-01", "2017-04-01"]
+    with pytest.raises(ValueError):
+        month_range(spark, "2018-02-01", "2017-01-01")
