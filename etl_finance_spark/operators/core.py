@@ -470,6 +470,57 @@ def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+    FROM events
+    """,
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-SRC-2's typed JSON parse: from_json with a declared schema
+    (vs q_json_get's stringly get_json_object) — missing fields land as
+    typed nulls, the schema-first ingestion posture of sources.readers."""
+    df = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT, missing INT")
+    return df.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("missing").alias("absent"),
+    )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, Pearson corr,
+    sample covariance) — both engines share the standard definitions;
+    stddev of 1e4-scale values rounds at 4dp (precision-edge policy)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_cov"
+        ),
+    )
+
+
+@register(
     "q_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
