@@ -167,6 +167,75 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, 21845) AS xored,
+           l_orderkey << 2 AS shifted
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (mask/flag/hash-mix primitives)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted"),
+    )
+
+
+@register(
+    "q_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) AS hi,
+           least(l_quantity, l_discount * 100, l_tax * 100) AS lo
+    FROM lineitem
+    """,
+)
+def q_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    args = (F.col("l_quantity"), F.col("l_discount") * 100,
+            F.col("l_tax") * 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(*args).alias("hi"),
+        F.least(*args).alias("lo"),
+    )
+
+
+@register(
+    "q_str_pad",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_id,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           reverse(c_name) AS rev_name,
+           repeat('-', CAST(c_nationkey AS INTEGER)) AS dashes
+    FROM customer
+    """,
+)
+def q_str_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width formatting family (lpad/rpad/reverse/repeat) — the
+    egress-formatting shape of the reference's sink strings."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_id"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("padded_seg"),
+        F.reverse(F.col("c_name")).alias("rev_name"),
+        F.repeat(F.lit("-"), F.col("c_nationkey")).alias("dashes"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT doc_id,
