@@ -195,3 +195,47 @@ def test_watermark_bounds_dedup_state(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark, event_stream_dir):
+    """applyInPandasWithState: state accumulates across micro-batches —
+    the LAST emission per user equals the batch groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_spark.streaming.stateful import running_user_totals
+
+    path, schema = event_stream_dir
+    stream = read_event_stream(spark, path, schema).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .start()
+    )
+    out.processAllAvailable()
+    out.stop()
+    emitted = spark.sql("SELECT * FROM t_stateful").collect()
+    # keep the max-count emission per user (the final state)
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in spark.read.schema(schema)
+        .parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, want in batch.items():
+        got = final[uid]
+        assert got.n_events == want.n_events
+        assert abs(got.total_value - want.total_value) < 1e-6
