@@ -75,6 +75,47 @@ def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, shingle) pairs of word n-grams — higher-order zip over
+    the token array (no explode-then-window, no UDF)."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, tau: float, n: int = 2) -> DataFrame:
+    """N-gram-shingle Jaccard near-dup: same inverted-index join as the
+    unigram rung but over word n-grams — order-sensitive, so it
+    separates docs that share vocabulary but not phrasing (exactly what
+    the tiny shared vocabulary of the fixtures defeats for unigrams)."""
+    toks = word_ngrams(docs, n)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """Per-doc MinHash signature: one groupBy pass computing all
     ``n_hashes`` mins map-side (no per-seed explosion — each seed is an
@@ -242,6 +283,39 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic rung scale-stable across sf dirs)."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
     return exact_jaccard_pairs(docs, JACCARD_TAU)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1]))) AS tok
+        FROM documents WHERE doc_id < {DOC_CAP}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM grams a JOIN grams b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard (τ=0.2 — phrase overlap is much rarer
+    than vocabulary overlap, so the threshold sits lower than the
+    unigram rung's 0.8)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
+    return ngram_jaccard_pairs(docs, 0.2, n=2)
 
 
 @register("q_minhash_lsh", oracle=None)  # WEAK: xxhash64 has no DuckDB analog

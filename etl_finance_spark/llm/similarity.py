@@ -235,6 +235,48 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_neardup",
+    oracle="""
+    WITH elems AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS e
+        FROM embeddings WHERE vec_id < 300
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM elems GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2, sum(a.e * b.e) AS dp
+        FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(dp / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = d1
+    JOIN norms nb ON nb.vec_id = d2
+    WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the dedup-by-similarity
+    rung, distinct from top-k search): unordered pairs above a cosine
+    threshold. Exact on a bounded candidate set; the LSH band machinery
+    (ann_lsh_topk) is the uncapped path."""
+    emb = with_unit_vec(
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    )
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("vec").alias("v1"),
+                   F.col("nrm").alias("n1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("vec").alias("v2"),
+                   F.col("nrm").alias("n2"))
+    pairs = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+    cos = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("d1", "d2", "cosine")
+    )
+
+
+@register(
     "q_embed_join",
     oracle="""
     SELECT e.vec_id, e.label, d.lang, d.source

@@ -133,6 +133,23 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_percentiles", oracle=None)  # WEAK: sketch-based
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: KLL-style sketch (approx_percentile)
+    instead of the exact sort — mergeable, constant memory. Unit test
+    bounds its error against the exact interpolated percentile."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 1000
+        ).alias("p50_p90")
+    ).select(
+        "l_returnflag",
+        F.col("p50_p90")[0].alias("p50_approx"),
+        F.col("p50_p90")[1].alias("p90_approx"),
+    )
+
+
 @register(
     "q_exists_subquery",
     oracle="""

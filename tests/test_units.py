@@ -169,3 +169,22 @@ def test_month_range_validation_and_values(spark):
     assert months == ["2017-01-01", "2017-02-01", "2017-03-01", "2017-04-01"]
     with pytest.raises(ValueError):
         month_range(spark, "2018-02-01", "2017-01-01")
+
+
+def test_approx_percentile_error_bound(spark):
+    from etl_finance_spark.catalog import table as t
+    from etl_finance_spark import registry
+
+    sf = SF_SMOKE
+    exact = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in registry.collect()["q_percentiles"].fn(spark, sf).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p90_approx)
+        for r in registry.collect()["q_approx_percentiles"].fn(spark, sf).collect()
+    }
+    for flag, (p50, p90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a90 - p90) / p90 < 0.05
