@@ -63,6 +63,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_between(spark: SparkSession, sf_dir: str,
+                   start: str, end: str) -> DataFrame:
+    """Time-range scan of events with the predicate PUSHED DOWN.
+
+    ``table(...,'events')`` converts the raw int64 nanoseconds to a
+    timestamp, so a filter on the converted column cannot reach the
+    parquet scan (derived-column predicates never do). This helper
+    filters the raw ns column first — the row-group min/max statistics
+    prune at the scan — then converts. At 100 TB, where events would be
+    date-partitioned, this is the difference between reading a day and
+    reading the table."""
+    import datetime as _dt
+
+    def ns(s: str) -> int:
+        t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    _ensure_session_confs(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("ts") >= ns(start)) & (F.col("ts") < ns(end))
+    )
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view named after itself."""
     for name in TABLES:

@@ -65,3 +65,22 @@ def test_no_python_udf_in_builtin_paths(spark):
         plan = _simple(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_events_range_scan_pushes_down(spark):
+    from etl_finance_spark.catalog import events_between, table
+
+    df = events_between(spark, SF_CORRECT, "2024-01-05", "2024-01-10")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "GreaterThanOrEqual(ts" in plan  # raw ns predicate at the scan
+    # and the result matches filtering after conversion
+    from pyspark.sql import functions as F
+
+    naive = table(spark, SF_CORRECT, "events").filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")
+    )
+    assert df.count() == naive.count() > 0
