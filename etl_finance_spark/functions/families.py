@@ -167,6 +167,59 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substring(text, 1, 3) AS INTEGER) AS bad_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS good_long,
+           TRY_CAST(lang AS DOUBLE) AS bad_double
+    FROM documents
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast: malformed input → typed null instead of an ANSI error —
+    the ingestion-hardening cast (the reference's exception-driven parse
+    fallbacks, etl.py:33-49, done declaratively)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.substring("text", 1, 3), F.lit("999"))
+        .cast("int")
+        .alias("bad_int"),
+        F.col("n_chars").cast("string").try_cast("long").alias("good_long"),
+        F.col("lang").try_cast("double").alias("bad_double"),
+    )
+
+
+@register(
+    "q_array_funcs2",
+    oracle="""
+    SELECT doc_id,
+           list_position(string_split(text, ' '), 'hash') AS hash_pos,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       t -> t <> 'the'), ' ') AS no_the,
+           list_max(string_split(text, ' ')) AS max_tok,
+           list_min(string_split(text, ' ')) AS min_tok,
+           len(flatten([string_split(text, ' '),
+                        string_split(text, ' ')])) AS doubled_len
+    FROM documents
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array family: position/remove/extrema/flatten."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_position(toks, "hash").cast("long").alias("hash_pos"),
+        F.array_join(F.array_remove(toks, "the"), " ").alias("no_the"),
+        F.array_max(toks).alias("max_tok"),
+        F.array_min(toks).alias("min_tok"),
+        F.size(F.flatten(F.array(toks, toks))).cast("long").alias("doubled_len"),
+    )
+
+
+@register(
     "q_bitwise",
     oracle="""
     SELECT l_orderkey,
