@@ -99,6 +99,88 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join through the region→nation→customer
+    chain with the local-supplier predicate. The three dims broadcast;
+    only orders⋈lineitem shuffles (on orderkey) — the plan Catalyst's
+    join reordering should find, pinned here explicitly."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    dims = (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name", "n_nationkey")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against an aggregated subquery (orders
+    whose total quantity exceeds a threshold). The agg output is small →
+    broadcast semi-join; the fact scans once."""
+    orders = table(spark, sf_dir, "orders")
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+        )
+    )
+
+
+@register(
     "q_string_agg",
     oracle="""
     SELECT c_nationkey,
