@@ -239,3 +239,79 @@ def test_stateful_running_totals(spark, event_stream_dir):
         got = final[uid]
         assert got.n_events == want.n_events
         assert abs(got.total_value - want.total_value) < 1e-6
+
+
+def test_stream_static_enrichment(spark, event_stream_dir):
+    """Stream-static join: every micro-batch row picks up its dim
+    attributes; stream result equals the batch join."""
+    from etl_finance_spark.streaming.joins import enrich_with_dim
+
+    path, schema = event_stream_dir
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], ["user_id", "tier"]
+    )
+    stream = read_event_stream(spark, path, schema).select(
+        "event_id", "user_id"
+    )
+    got = _run_stream(
+        spark, enrich_with_dim(stream, dim), "t_enrich", mode="append"
+    )
+    want = enrich_with_dim(
+        spark.read.schema(schema).parquet(path).select("event_id", "user_id"),
+        dim,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream join: click→purchase pairs within 60
+    minutes; the streamed result equals the batch formulation when the
+    stream arrives in (rough) time order — which is the realistic
+    arrival pattern the watermark contract assumes. (A stream split
+    arbitrarily across the full time range WOULD lose cross-batch pairs
+    to state eviction: that's the watermark doing its job, not a bug.)"""
+    import shutil
+    import tempfile
+
+    from etl_finance_spark.streaming.joins import followed_within
+    from etl_finance_spark.streaming.windows import with_watermark
+
+    events = table(spark, SF_SMOKE, "events")
+    schema = events.schema
+    path = tempfile.mkdtemp(prefix="ss-join-")
+    # chronological micro-batches: ~10-day slices of the month
+    for lo, hi in (("2024-01-01", "2024-01-11"),
+                   ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")):
+        events.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return clicks, purchases
+
+    s = read_event_stream(spark, path, schema)
+    sc, sp = split(s)
+    got = _run_stream(
+        spark,
+        followed_within(
+            with_watermark(sc, "2 days"), with_watermark(sp, "2 days")
+        ),
+        "t_ss_join",
+        mode="append",
+    )
+    b = spark.read.schema(schema).parquet(path)
+    b = b.withColumn("ts", F.col("ts").cast("timestamp"))
+    bc, bp = split(b)
+    want = followed_within(bc, bp)
+    try:
+        assert got.count() > 0
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
