@@ -180,6 +180,42 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fill_forward",
+    oracle="""
+    SELECT event_id,
+           round(coalesce(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), -1.0), 6) AS v_filled
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF): each null takes the entity's last non-null
+    observation — the time-series imputation the reference's mean-fill
+    (R-NULL-1) should arguably have been. last(ignorenulls) over a
+    per-entity running frame; leading nulls flagged with -1."""
+    events = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.round(
+            F.coalesce(F.last(v, ignorenulls=True).over(w), F.lit(-1.0)), 6
+        ).alias("v_filled"),
+    )
+
+
+@register(
     "q_win_range_frame",
     oracle="""
     SELECT o_orderkey,
