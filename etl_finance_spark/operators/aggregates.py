@@ -173,6 +173,28 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity < 50) AS all_small,
+           bool_or(l_discount > 0.09) AS any_big_disc,
+           count_if(l_tax = 0.0) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if) — data-quality assertion
+    aggregates, evaluated map-side like any other partial agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 50).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.count_if(F.col("l_tax") == 0.0).alias("n_taxfree"),
+    )
+
+
 @register("q_agg_approx_distinct", oracle=None)  # WEAK: sketch differs from DuckDB
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
