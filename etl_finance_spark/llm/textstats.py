@@ -210,6 +210,34 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30))
+               AS dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 50
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between adjacent docs' prefixes — the fuzzy
+    rung of the dedup ladder (string-level, vs token-set Jaccard and
+    bit-level SimHash). Prefix-bounded: edit distance is O(len²) per
+    pair, so production use caps the comparison window exactly like
+    this."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 51)
+    a = d.select(F.col("doc_id").alias("d1"),
+                 F.substring("text", 1, 30).alias("t1"))
+    b = d.select(F.col("doc_id").alias("d2"),
+                 F.substring("text", 1, 30).alias("t2"))
+    return (
+        a.filter(F.col("d1") < 50)
+        .join(b, b.d2 == a.d1 + 1)
+        .select("d1", "d2", F.levenshtein("t1", "t2").cast("long").alias("dist"))
+    )
+
+
+@register(
     "q_tfidf",
     oracle="""
     WITH toks AS (
