@@ -1,8 +1,10 @@
 """Benchmark runner — times every declared query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (the round-1 full per-query line overflowed
+the driver's captured output tail → ``"parsed": null``; VERDICT.md §perf):
     {"metric": "total_declared_query_time", "value": N, "unit": "sec",
-     "queries": {...}, "sf": ...}
+     "n_queries": N, "queries": {<5 slowest>}, "sf": ...}
+Full per-query timings go to BENCH_DETAIL.json next to this script.
 
 Each query is executed to completion through the ``noop`` sink — unlike
 ``count()`` (which lets Catalyst prune every projected column away), the
@@ -52,12 +54,26 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "total_declared_query_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(),
+                          key=lambda kv: -(kv[1] if kv[1] == kv[1] else 0))[:5])
     print(json.dumps({
         "metric": "total_declared_query_time",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "sf": sf_val,
     }))
 
 

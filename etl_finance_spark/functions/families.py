@@ -195,7 +195,7 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs2",
     oracle="""
     SELECT doc_id,
-           list_position(string_split(text, ' '), 'hash') AS hash_pos,
+           CAST(list_position(string_split(text, ' '), 'hash') AS BIGINT) AS hash_pos,
            array_to_string(list_filter(string_split(text, ' '),
                                        t -> t <> 'the'), ' ') AS no_the,
            list_max(string_split(text, ' ')) AS max_tok,

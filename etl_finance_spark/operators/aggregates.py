@@ -179,7 +179,7 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            bool_and(l_quantity < 50) AS all_small,
            bool_or(l_discount > 0.09) AS any_big_disc,
-           count_if(l_tax = 0.0) AS n_taxfree
+           CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_taxfree
     FROM lineitem
     GROUP BY l_returnflag
     """,

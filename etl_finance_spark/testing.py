@@ -13,6 +13,7 @@ import math
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 
 from etl_finance_spark.catalog import TABLES
 
@@ -56,8 +57,100 @@ def _keyed(cols: list[str], rows) -> list[tuple]:
     return out
 
 
+def _canon_spark_type(dt) -> str:
+    """Spark DataType -> width-preserving canonical token.
+
+    Types are compared strictly (not just Python values) because the
+    driver's value-hash distinguishes e.g. DuckDB HUGEINT from Spark
+    long even when the numbers are identical (round-1 `q_bool_aggs`
+    lesson); Python int equality erases that, so the local harness
+    must compare widths explicitly to fail first.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.DecimalType):
+        # HUGEINT round-trips as decimal(38,0); identify the two.
+        if dt.scale == 0 and dt.precision > 18:
+            return "int128"
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{_canon_spark_type(dt.keyType)},{_canon_spark_type(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(_canon_spark_type(f.dataType) for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return dt.simpleString()
+
+
+def _canon_arrow_type(t: "pa.DataType") -> str:
+    """Arrow type (DuckDB result) -> the same canonical tokens."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_decimal(t):
+        if t.scale == 0 and t.precision > 18:
+            return "int128"
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{_canon_arrow_type(t.key_type)},{_canon_arrow_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(_canon_arrow_type(f.type) for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def oracle_arrow_schema(con, oracle: str) -> "pa.Schema":
+    """Arrow schema of the oracle's result, via a LIMIT-0 wrap (cheap)."""
+    sql = oracle.strip().rstrip(";")
+    return con.execute(
+        f"SELECT * FROM (\n{sql}\n) AS __schema_probe LIMIT 0"
+    ).fetch_arrow_table().schema
+
+
 def compare(spark_df, con, oracle: str) -> tuple[bool, str]:
-    """Return (ok, message). Mirrors count/columns/value-multiset."""
+    """Return (ok, message). Mirrors count/columns/value-multiset, plus a
+    type-width check (int64 vs HUGEINT, bool vs int) the driver's value
+    hash is sensitive to but Python `==` is not."""
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     cur = con.execute(oracle)
@@ -66,6 +159,16 @@ def compare(spark_df, con, oracle: str) -> tuple[bool, str]:
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+
+    d_schema = oracle_arrow_schema(con, oracle)
+    s_types = {f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    d_types = {f.name: _canon_arrow_type(f.type) for f in d_schema}
+    width_diffs = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types.get(c)
+    }
+    if width_diffs:
+        return False, f"type widths differ (spark, duck): {width_diffs}"
+
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
     sk, dk = _keyed(s_cols, [tuple(r) for r in s_rows]), _keyed(d_cols, d_rows)

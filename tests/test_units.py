@@ -234,3 +234,30 @@ def test_gap_fill_fills_actual_gaps(spark):
     }
     assert out == {"2024-03-01": 1, "2024-03-02": 0, "2024-03-03": 0,
                    "2024-03-04": 1}
+
+
+# --- harness width-strictness (round-1 q_bool_aggs lesson) -------------------
+
+
+def test_compare_rejects_integer_width_drift(spark, duck):
+    """The round-1 driver failure: DuckDB count_if returns HUGEINT while
+    Spark count_if returns long; values are equal so Python == passes, but
+    the driver's value hash does not. The harness must fail it locally."""
+    from etl_finance_spark.testing import compare
+
+    df = spark.range(3).selectExpr("count_if(id > 0) AS n")
+    ok, msg = compare(df, duck, "SELECT count_if(x > 0) AS n FROM (VALUES (0),(1),(2)) t(x)")
+    assert not ok and "type widths differ" in msg
+    ok, msg = compare(
+        df, duck,
+        "SELECT CAST(count_if(x > 0) AS BIGINT) AS n FROM (VALUES (0),(1),(2)) t(x)",
+    )
+    assert ok, msg
+
+
+def test_compare_rejects_bool_int_drift(spark, duck):
+    from etl_finance_spark.testing import compare
+
+    df = spark.range(1).selectExpr("id = 0 AS flag")
+    ok, msg = compare(df, duck, "SELECT 1 AS flag")
+    assert not ok and "type widths differ" in msg
