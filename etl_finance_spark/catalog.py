@@ -78,7 +78,10 @@ def events_between(spark: SparkSession, sf_dir: str,
 
     def ns(s: str) -> int:
         t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
-        return int(t.timestamp()) * 1_000_000_000
+        # int(t.timestamp()) * 1e9 would silently drop fractional
+        # seconds from the bound (round-1 ADVICE); build ns from whole
+        # seconds + microseconds so sub-second endpoints filter exactly.
+        return int(t.timestamp()) * 10**9 + t.microsecond * 1_000
 
     _ensure_session_confs(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(

@@ -77,7 +77,13 @@ def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
 
 def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, shingle) pairs of word n-grams — higher-order zip over
-    the token array (no explode-then-window, no UDF)."""
+    the token array (no explode-then-window, no UDF).
+
+    Docs with fewer than ``n`` tokens yield no shingles and are dropped
+    up front: without the guard, ``sequence(1, size-1)`` on a 1-token
+    doc produces a DESCENDING [1, 0] and ``element_at(toks, 0)`` throws
+    under ANSI mode, where the oracle's ``generate_series(1, 0)``
+    returns empty (round-1 ADVICE, confirmed on a 1-token doc)."""
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -85,7 +91,7 @@ def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return docs.select(
+    return docs.filter(F.size(toks) >= n).select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
     )
 

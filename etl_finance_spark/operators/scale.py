@@ -36,18 +36,39 @@ def write_bucketed(df: DataFrame, name: str, keys: Sequence[str],
     )
 
 
+_SALTABLE_HOW = frozenset({"inner", "left", "left_outer", "leftouter",
+                           "left_semi", "leftsemi"})
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                *, salt: int = 16, how: str = "inner") -> DataFrame:
+                *, salt: int = 16, how: str = "inner",
+                salt_on: Sequence[str] | None = None) -> DataFrame:
     """Equi-join with the big side salted across ``salt`` sub-keys.
 
-    The big side gets a deterministic pseudo-random salt (hash of a
-    per-row id — not rand(), so retried tasks produce identical rows);
-    the small side replicates once per salt value. Join key becomes
-    (key, salt): the hot key's rows spread over ``salt`` reducers.
+    The big side's salt is a hash of real row content (``salt_on``
+    columns, default: every big-side column), so it is stable across
+    task retries AND re-plans — monotonically_increasing_id is only
+    stable within one partition layout, which AQE is free to change
+    (VERDICT.md round-1 finding #5). Fully duplicate rows share a salt;
+    that is acceptable because salt only spreads load, never affects
+    join results. The small side replicates once per salt value and the
+    join key becomes (key, salt): the hot key's rows spread over
+    ``salt`` reducers.
+
+    Only ``inner``/``left``/``left_semi`` are supported: for right or
+    full outer joins, small-side keys with no big-side match would
+    surface once per salt replica (ADVICE round-1).
     """
+    if how not in _SALTABLE_HOW:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "right/full-outer would emit unmatched small-side rows once "
+            "per salt replica"
+        )
+    hash_cols = list(salt_on) if salt_on is not None else list(big.columns)
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast(
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt)).cast(
             "int"
         ),
     )

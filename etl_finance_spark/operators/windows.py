@@ -124,6 +124,57 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_ntile_scalable",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+               quantile_disc(o_totalprice, 0.50) AS p50,
+               quantile_disc(o_totalprice, 0.75) AS p75
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice <= p25 THEN 1
+                     WHEN o_totalprice <= p50 THEN 2
+                     WHEN o_totalprice <= p75 THEN 3
+                     ELSE 4 END AS BIGINT) AS quartile
+    FROM orders, cuts
+    """,
+)
+def q_win_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_win_ntile (VERDICT.md round-1 finding: the
+    exact global-window ntile funnels every row through ONE partition).
+    Value-based quartiles instead: one aggregation pass computes the
+    three discrete cut points (percentile_disc picks actual data values,
+    so both engines agree exactly — no interpolation at the double-
+    precision edge), a 1-row broadcast carries them to every executor,
+    and bucket assignment is a map-side CASE. No global sort anywhere;
+    at scale the agg swaps to approx_percentile with the same shape.
+    Semantics differ from ntile only in tie handling (equal values share
+    a bucket; bucket sizes are ~n/4 rather than exactly n/4)."""
+    orders = table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p75"),
+    )
+    return orders.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") <= F.col("p25"), 1)
+        .when(F.col("o_totalprice") <= F.col("p50"), 2)
+        .when(F.col("o_totalprice") <= F.col("p75"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("quartile"),
+    )
+
+
+@register(
     "q_win_lead",
     oracle="""
     SELECT event_id,

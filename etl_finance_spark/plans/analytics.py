@@ -35,13 +35,17 @@ from etl_finance_spark.registry import register
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week,
     counted in each subsequent active week. Two aggregations sharing the
-    events scan; the cohort map is small and broadcasts into the join."""
+    events scan, shuffle-joined on user_id. The cohort map is one row
+    PER USER — unbounded at scale (billions of rows at 100 TB), so it
+    must NOT carry a broadcast hint; AQE may still broadcast at runtime
+    when the measured size is genuinely small, which is the only safe
+    way to make that call (VERDICT.md round-1 finding #3)."""
     events = table(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts")).cast("date")
     firsts = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = events.select("user_id", week.alias("week")).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff("week", "cohort_week") / 7).cast("long").alias(

@@ -117,14 +117,24 @@ def foreach_batch_upsert(target_path: str, keys: list[str]):
     /root/reference/etl.py:182-191 generalized)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         from etl_finance_spark.operators.core import upsert_new_rows
 
         spark = batch_df.sparkSession
         try:
             target = spark.read.parquet(target_path)
-            fresh = upsert_new_rows(batch_df, target, keys)
-        except Exception:  # first batch: target doesn't exist yet
+        except AnalysisException as e:
+            # Only a genuinely missing target means "first batch". Any
+            # other failure (transient FS error, corrupt files) must
+            # re-raise — appending without the anti-join would silently
+            # duplicate redelivered rows and break the idempotency
+            # contract this sink exists for (round-1 ADVICE).
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             fresh = batch_df.dropDuplicates(keys)
+        else:
+            fresh = upsert_new_rows(batch_df, target, keys)
         fresh.write.mode("append").parquet(target_path)
 
     return sink
@@ -178,13 +188,19 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_session",
     oracle="""
-    WITH marked AS (
-        SELECT user_id, date_trunc('microseconds', ts) AS ts,
+    WITH e AS (
+        -- pre-truncate in a subquery: a bare `lag(ts)` next to a
+        -- `date_trunc(...) AS ts` alias binds to the RAW ns column in
+        -- DuckDB, silently running the 30-min gap test at ns precision
+        -- while Spark sees µs (round-1 ADVICE)
+        SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), marked AS (
+        SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts))
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), grouped AS (
         SELECT user_id, ts,
                sum(new_session) OVER (

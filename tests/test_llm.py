@@ -74,3 +74,17 @@ def test_ann_recall_vs_brute_force(spark):
     for r in ann:
         if (r.qid, r.cid) in bcos:
             assert abs(r.cosine - bcos[(r.qid, r.cid)]) < 1e-9
+
+
+def test_word_ngrams_degenerate_docs(spark):
+    """Docs with < n tokens must yield zero shingles, not an ANSI
+    INVALID_ARRAY_INDEX crash (round-1 ADVICE): sequence(1, size-1)
+    descends on a 1-token doc."""
+    from etl_finance_spark.llm.dedup import word_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens"), (4, "a b c")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.tok) for r in word_ngrams(docs, 2).collect()}
+    assert got == {(3, "two tokens"), (4, "a b"), (4, "b c")}

@@ -84,3 +84,28 @@ def test_events_range_scan_pushes_down(spark):
         (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")
     )
     assert df.count() == naive.count() > 0
+
+
+def test_cohort_retention_has_no_broadcast_hint(spark):
+    """The per-user cohort map is unbounded at scale: the plan must not
+    pin a broadcast via hint (VERDICT r1 #3). AQE may still broadcast at
+    runtime from measured sizes — that is allowed; a static hint is not."""
+    df = SPECS["q_cohort_retention"].fn(spark, SF_CORRECT)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+
+
+def test_asof_join_aggregates_with_partial_min(spark):
+    """q_join_asof must be the min-aggregate plan (map-side partial agg),
+    not the per-key window sort (VERDICT r1 #4)."""
+    plan = _simple(spark, "q_join_asof")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_ntile_scalable_broadcasts_cutpoints_no_global_sort(spark):
+    """The scale twin of ntile: 1-row cut-point broadcast + map-side CASE;
+    there must be no single-partition global window sort."""
+    plan = _simple(spark, "q_win_ntile_scalable")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan

@@ -76,3 +76,23 @@ def test_salted_join_left_outer(spark):
                                              salt=4).collect()
     )
     assert got == [(1, "a", "x"), (2, "b", "y"), (99, "orphan", None)]
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x")], ["k", "w"])
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_salt_is_content_derived(spark):
+    """Salt must not depend on partition layout (VERDICT r1 #5): the same
+    rows through a different partitioning produce the same salted join."""
+    rows = [(i % 5, f"r{i}") for i in range(200)]
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["k", "w"])
+    a = spark.createDataFrame(rows, ["k", "v"]).repartition(2)
+    b = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    got_a = sorted(map(tuple, salted_join(a, small, "k", salt=4).collect()))
+    got_b = sorted(map(tuple, salted_join(b, small, "k", salt=4).collect()))
+    assert got_a == got_b

@@ -315,3 +315,24 @@ def test_stream_stream_join_equals_batch(spark):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_reraises_non_missing_errors(spark, tmp_path):
+    """Only a MISSING target means 'first batch'. A corrupt target must
+    raise, not silently append without the anti-join (round-1 ADVICE —
+    that would duplicate redelivered rows)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    target = str(tmp_path / "corrupt_target")
+    (tmp_path / "corrupt_target").mkdir()
+    (tmp_path / "corrupt_target" / "part-0.parquet").write_text("not parquet")
+    batch = spark.createDataFrame([(1, "a")], ["event_id", "v"])
+    sink = foreach_batch_upsert(target, ["event_id"])
+    with pytest.raises(Exception):
+        sink(batch, 0)
+    # and a genuinely missing path still bootstraps the target
+    fresh_target = str(tmp_path / "fresh_target")
+    sink2 = foreach_batch_upsert(fresh_target, ["event_id"])
+    sink2(batch, 0)
+    assert spark.read.parquet(fresh_target).count() == 1

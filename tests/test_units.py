@@ -261,3 +261,18 @@ def test_compare_rejects_bool_int_drift(spark, duck):
     df = spark.range(1).selectExpr("id = 0 AS flag")
     ok, msg = compare(df, duck, "SELECT 1 AS flag")
     assert not ok and "type widths differ" in msg
+
+
+def test_events_between_subsecond_bounds(spark):
+    """Range endpoints with fractional seconds must filter at the exact
+    ns boundary, not the truncated whole second (round-1 ADVICE)."""
+    from etl_finance_spark.catalog import events_between, table
+
+    lo, hi = "2024-01-05 00:00:00.500", "2024-01-05 12:00:00"
+    got = events_between(spark, "/root/testdata/sf0.01", lo, hi)
+    ref = (
+        table(spark, "/root/testdata/sf0.01", "events")
+        .filter((F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp_ntz")))
+    )
+    assert got.count() == ref.count()
