@@ -234,6 +234,134 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, TOP_K)
 
 
+# --- IVF (inverted-file) ANN — the coarse-quantizer alternative to LSH ------
+
+N_CELLS = 16
+N_PROBE = 2
+LLOYD_ITERS = 2
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(vectors: DataFrame) -> DataFrame:
+    """Deterministic k-means coarse quantizer, all DataFrame ops.
+
+    Seeds = the N_CELLS lowest-vec_id vectors (no rand() — retries and
+    re-plans reproduce the same model), then LLOYD_ITERS assign/average
+    passes. The per-dimension mean is computed by posexplode →
+    groupBy(cell, pos) → re-assemble sorted, which is one shuffle per
+    iteration keyed by (cell, pos) — at 100 TB both passes stay fully
+    distributed and the model itself never exceeds N_CELLS rows."""
+    w = Window.orderBy("vec_id")
+    cent = (
+        vectors.orderBy("vec_id").limit(N_CELLS)
+        .select(F.row_number().over(w).alias("cell"), F.col("vec").alias("cvec"))
+    )
+    for _ in range(LLOYD_ITERS):
+        assigned = (
+            vectors.select("vec_id", "vec")
+            .crossJoin(F.broadcast(cent))
+            .withColumn("d2", _l2sq(F.col("vec"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d2", "cell")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "vec")
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("e").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
+def ivf_assign(vectors: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell) for the nprobe nearest cells — the IVF routing
+    step: a cross join against the tiny broadcast model, never against
+    the corpus."""
+    return (
+        vectors.select("vec_id", "vec")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", _l2sq(F.col("vec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """IVF ANN: corpus partitioned into N_CELLS coarse cells (1 cell per
+    vector); each query probes its N_PROBE nearest cells and exact-
+    reranks only those cells' members. Same shuffle hygiene as the LSH
+    rung: the cell join carries ids, vectors re-attach for the rerank.
+    At scale the cell id becomes the corpus PARTITION key, so a probe
+    touches nprobe/ncells of the data instead of all of it."""
+    cent = ivf_centroids(vectors)
+    corpus_cells = ivf_assign(vectors, cent, 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    query_cells = ivf_assign(queries, cent, N_PROBE).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = vectors.select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = cand.join(F.broadcast(qv), "qid").join(cv, "cid")
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine")
+    )
+
+
+@register("q_ann_ivf_topk", oracle=None)  # WEAK: approximate by design
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-4 second scale rung: IVF coarse-quantizer ANN (deterministic
+    k-means cells, nprobe=2), recall-tested vs brute force alongside the
+    sign-LSH rung."""
+    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return ann_ivf_topk(emb, queries, TOP_K)
+
+
 @register(
     "q_embed_neardup",
     oracle="""

@@ -314,3 +314,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.split("text", " "), 1, 8), " ").cast("binary")
         ).alias("prefix_shingle_md5"),
     )
+
+
+@register(
+    "q_split_deterministic",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN strpos('0123456789abcdef',
+                            substring(md5(text), 1, 1)) <= 12 THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                            substring(md5(text), 1, 1)) <= 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the training-pipeline
+    primitive rand() cannot provide: assignment is a pure function of
+    CONTENT (md5 of the text), so it is identical across engines, runs,
+    repartitions, and incremental re-ingestion of the same document.
+    First hex nibble buckets 16 ways → 12/2/2 = 75%/12.5%/12.5%.
+    Map-side projection only; no shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1),
+    )
+    return d.select(
+        "doc_id",
+        F.when(nib <= 12, "train")
+        .when(nib <= 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

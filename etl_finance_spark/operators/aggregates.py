@@ -204,3 +204,30 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin_id,
+           1 + 5 * CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin_lo,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket shape): bin assignment is a
+    map-side floor-divide, counts combine partially before the shuffle —
+    the constant-memory profile pass every ingest pipeline runs first.
+    Bin edges are integers so the floor is exact on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    bin_id = F.floor((F.col("l_quantity") - 1) / 5).cast("long")
+    return (
+        li.withColumn("bin_id", bin_id)
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_id", (F.lit(1) + F.lit(5) * F.col("bin_id")).alias("bin_lo"), "n"
+        )
+    )

@@ -362,3 +362,31 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "q_zscore",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER w)
+                 / stddev_samp(value) OVER w, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity standardization (feature normalization for training
+    pipelines): an unordered whole-partition window, so Spark computes
+    avg/stddev in one pass per user partition with no sort. try_divide
+    maps a zero/NULL stddev (single-row or constant users) to NULL the
+    way DuckDB's `/` does."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = F.round(
+        F.try_divide(
+            F.col("value") - F.avg("value").over(w),
+            F.stddev_samp("value").over(w),
+        ),
+        6,
+    )
+    return events.select("event_id", z.alias("z"))

@@ -205,3 +205,42 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WITHIN GROUP (ORDER BY c_mktsegment, c_custkey)"
         ).alias("segs")
     )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, count(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives (WAU) per active day. Distinct
+    counts cannot ride a sliding window frame, and a range join of days
+    against user-days is a band join; the Spark plan instead EXPANDS
+    each (user, day) into the ≤7 future days it contributes to
+    (map-side sequence+explode, bounded 7× fan-out), semi-joins to real
+    activity days, and counts distinct pairs — every stage is an
+    equi-shuffle that scales linearly."""
+    events = table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    return (
+        expanded.join(days, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )

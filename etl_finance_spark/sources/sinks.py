@@ -33,11 +33,18 @@ def write_upsert(spark: SparkSession, incoming: DataFrame, path: str,
     Creates the target on first write. (On a Delta/Iceberg catalog this
     is `MERGE WHEN NOT MATCHED THEN INSERT`; plain parquet gets the
     equivalent anti-join append.)"""
+    from pyspark.errors import AnalysisException
+
     from etl_finance_spark.operators.core import upsert_new_rows
 
     try:
         target = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException as e:
+        # Same contract as streaming's foreach_batch_upsert: only a
+        # missing target means "first write"; any other failure must
+        # re-raise or redelivered rows would append un-deduplicated.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         incoming.dropDuplicates(list(keys)).write.parquet(path)
         return
     upsert_new_rows(incoming, target, keys).write.mode("append").parquet(path)
@@ -48,8 +55,9 @@ def write_jdbc(df: DataFrame, url: str, table: str, *,
                properties: dict | None = None) -> None:
     """X-SNK-2: JDBC egress — Spark batches `batchsize` rows per
     executemany per partition; one connection per partition, not per
-    row (replaces etl.py:183's iterrows loop). Untestable in this
-    container (no database); exercised only by its callers' mocks."""
+    row (replaces etl.py:183's iterrows loop). Integration-tested
+    against embedded Derby (ships in Spark's jars dir); a server-side
+    target (MySQL, etl.py:84) is the same call with a different URL."""
     df.write.jdbc(url=url, table=table, mode=mode,
                   properties={"batchsize": str(batchsize),
                               **(properties or {})})
