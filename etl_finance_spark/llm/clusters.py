@@ -1,0 +1,92 @@
+"""Dedup cluster assignment — connected components over near-dup pairs.
+
+The last rung of the dedup ladder (SURVEY.md §2 LLM ops): pair finders
+(exact, Jaccard, MinHash-LSH, SimHash) emit EDGES; turning edges into a
+canonical representative per duplicate CLUSTER is what lets a pipeline
+actually drop documents (keep min doc_id per component, delete the
+rest). Small-step min-label propagation, all DataFrame ops.
+
+Registered in its own module (after the aggregates family) so the
+driver's ~50-query correctness window ordering in registry.py stays
+stable; the implementation it layers on lives in llm/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node in `pairs` (columns d1, d2);
+    component = the smallest node id reachable from the node.
+
+    Min-label propagation to a FIXPOINT: each pass every node takes the
+    min of its own and its neighbors' labels, then pointer-jumps
+    (label <- label's label, which collapses label chains so hub-heavy
+    graphs converge in few passes). The loop stops when a pass changes
+    no label — bounded propagation (a fixed small iteration count)
+    silently mislabels any component whose min node sits further than
+    the bound from some member, so the delta check is correctness, not
+    polish. `max_iter` is a runaway guard only. Each pass is one
+    equi-join + one groupBy + one self-join on node id — linear
+    shuffles, no driver-side state; the delta probe is an isEmpty on a
+    checkpointed frame (limit-1 short circuit).
+
+    Lineage management is the non-obvious scale requirement: the label
+    frame feeds the next iteration several times, so the unchecked plan
+    doubles per pass and optimizer time explodes long before data size
+    matters. The edge list and each pass's labels are localCheckpoint'ed
+    (truncated lineage, executor-local blocks); a 1000-executor
+    deployment swaps in reliable `checkpoint()` on a fault-tolerant dir
+    — same algorithm, same cadence."""
+    edges = pairs.select("d1", "d2")
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "d2"), "d2"
+        ).select(F.col("d1").alias("node"), "label")
+        merged = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        hop = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
+        )
+        new_labels = (
+            merged.join(hop, "label", "left")
+            .select("node", F.coalesce("jumped", "label").alias("label"))
+            .localCheckpoint()
+        )
+        delta = new_labels.join(
+            labels.withColumnRenamed("label", "old"), "node"
+        ).filter(F.col("label") != F.col("old"))
+        labels = new_labels
+        if delta.isEmpty():
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@register("q_dedup_clusters", oracle=None)  # WEAK: iterative fixpoint
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the exact-Jaccard near-dup edges: every
+    clustered doc mapped to its component's min doc_id (the survivor).
+    Not SQL-expressible as a fixed query (iterative fixpoint) — unit
+    tests pin component structure on crafted graphs instead."""
+    from etl_finance_spark.llm.dedup import exact_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = exact_jaccard_pairs(docs, tau=0.5)
+    return connected_components(pairs)

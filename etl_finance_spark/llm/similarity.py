@@ -264,18 +264,27 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
         .select(F.row_number().over(w).alias("cell"), F.col("vec").alias("cvec"))
     )
     for _ in range(LLOYD_ITERS):
+        # nearest cell as a min-of-struct aggregate, not a row_number
+        # window: the 16 candidate rows per vector live in the SAME
+        # partition (the broadcast cross join never moves the big side),
+        # so the partial agg collapses them map-side — zero shuffle and
+        # no per-key sort. Struct comparison is lexicographic (d2 then
+        # cell), the same deterministic tiebreak the window used.
         assigned = (
             vectors.select("vec_id", "vec")
             .crossJoin(F.broadcast(cent))
-            .withColumn("d2", _l2sq(F.col("vec"), F.col("cvec")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy("d2", "cell")
-                ),
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _l2sq(F.col("vec"), F.col("cvec")).alias("d2"),
+                        F.col("cell").alias("cell"),
+                        F.col("vec").alias("vec"),
+                    )
+                ).alias("best")
             )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", "vec")
+            .select("vec_id", F.col("best.cell").alias("cell"),
+                    F.col("best.vec").alias("vec"))
         )
         cent = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
@@ -295,12 +304,22 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
 def ivf_assign(vectors: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cell) for the nprobe nearest cells — the IVF routing
     step: a cross join against the tiny broadcast model, never against
-    the corpus."""
-    return (
+    the corpus. nprobe=1 (the corpus-indexing pass, i.e. the BIG side)
+    takes the shuffle-free min-struct aggregate; nprobe>1 (the query
+    side, orders of magnitude smaller) keeps the row_number window."""
+    scored = (
         vectors.select("vec_id", "vec")
         .crossJoin(F.broadcast(cent))
         .withColumn("d2", _l2sq(F.col("vec"), F.col("cvec")))
-        .withColumn(
+    )
+    if nprobe == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell")).alias("best"))
+            .select("vec_id", F.col("best.cell").alias("cell"))
+        )
+    return (
+        scored.withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("vec_id").orderBy("d2", "cell")

@@ -231,3 +231,39 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_id", (F.lit(1) + F.lit(5) * F.col("bin_id")).alias("bin_lo"), "n"
         )
     )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts) DESC,
+                            event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the CDC-compaction / sessionstate shape.
+    Implemented as max-of-struct, NOT the row_number window the oracle
+    uses: the struct max partial-aggregates map-side (the shuffle
+    carries one candidate per key per input partition), where a window
+    must shuffle and sort every row. Lexicographic struct order (ts,
+    then unique event_id) matches the window's DESC/DESC ordering."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.value").alias("last_value"),
+        )
+    )

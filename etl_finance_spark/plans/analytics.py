@@ -244,3 +244,67 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("wau"))
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN round(o_totalprice * 2, 2)
+                    ELSE round(o_totalprice, 2) END AS price
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           old.price AS old_price,
+           new.price AS new_price
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+          OR old.price <> new.price
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC between two table versions): full outer join
+    on the key, classify added/removed/changed, drop unchanged. The two
+    "versions" are deterministic transforms of orders so the query is
+    self-contained and oracle-checkable. At scale both snapshots are
+    bucketed by the key and the diff join is shuffle-free; prices
+    compare after 2dp rounding so the changed-set is float-stable."""
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.round(F.col("o_totalprice") * 2, 2)
+        )
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+    )
+    a, b = old.alias("a"), new.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("a.price").alias("old_price"),
+            F.col("b.price").alias("new_price"),
+        )
+        .filter(
+            F.col("change_type").isin("added", "removed")
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )

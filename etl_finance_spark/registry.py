@@ -41,7 +41,6 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # aggregates (holds the one round-1 red row, q_bool_aggs, now fixed).
 # Rotate again next round to cover the remainder.
 _QUERY_MODULES = (
-    "etl_finance_spark.operators.aggregates",
     "etl_finance_spark.llm.dedup",
     "etl_finance_spark.llm.similarity",
     "etl_finance_spark.llm.textstats",
@@ -50,6 +49,9 @@ _QUERY_MODULES = (
     "etl_finance_spark.operators.setops",
     "etl_finance_spark.operators.reshape",
     "etl_finance_spark.functions.udfs",
+    "etl_finance_spark.operators.aggregates",
+    "etl_finance_spark.llm.clusters",
+    "etl_finance_spark.streaming.joins",
     "etl_finance_spark.functions.families",
     "etl_finance_spark.plans.analytics",
     "etl_finance_spark.operators.windows",

@@ -48,3 +48,38 @@ def followed_within(first: DataFrame, second: DataFrame,
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {minutes} MINUTES")),
     ).select("a_id", "b_id", "a_user")
+
+
+# ---------------------------------------------------------------------------
+# Declared query (batch form — the identical function body runs in
+# streaming mode in tests/test_streaming.py's equivalence tests)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from etl_finance_spark.catalog import table  # noqa: E402
+from etl_finance_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q_stream_pair_join",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS a_user
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND date_trunc('microseconds', b.ts) > date_trunc('microseconds', a.ts)
+     AND date_trunc('microseconds', b.ts)
+         <= date_trunc('microseconds', a.ts) + INTERVAL '60 minutes'
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+)
+def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream pairing declared in batch form: clicks within 60
+    minutes after a view by the same user. The equi-join carries the
+    plan (user_id), the time band is a post-filter — in streaming mode
+    the same band is what bounds the join state (see followed_within)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return followed_within(views, clicks, minutes=60)

@@ -113,3 +113,54 @@ def test_ivf_recall_and_determinism(spark):
     c1 = sorted(map(tuple, ivf_centroids(emb).collect()))
     c2 = sorted(map(tuple, ivf_centroids(emb).collect()))
     assert c1 == c2
+
+
+def test_connected_components_known_graph(spark):
+    """Pin component structure on a crafted graph: two chains and an
+    isolated pair; labels converge to each component's min node id."""
+    from etl_finance_spark.llm.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4 -> component 1
+         (10, 11),                     # pair -> component 10
+         (20, 21), (21, 22)],          # chain -> component 20
+        ["d1", "d2"],
+    )
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+
+
+def test_connected_components_matches_networkless_union_find(spark):
+    """Randomized cross-check vs a driver-side union-find oracle."""
+    import random
+
+    from etl_finance_spark.llm.clusters import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    # path-compress fully
+    expect = {x: find(x) for x in parent}
+    pairs = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {r.node: r.component for r in
+           connected_components(pairs).collect()}
+    assert got == expect
