@@ -90,3 +90,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = exact_jaccard_pairs(docs, tau=0.5)
     return connected_components(pairs)
+
+
+@register(
+    "q_corpus_prep",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 5
+    ), survivors AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+    )
+    SELECT k.doc_id, k.n_tokens,
+           CASE WHEN strpos('0123456789abcdef',
+                            substring(md5(k.text), 1, 1)) <= 12 THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                            substring(md5(k.text), 1, 1)) <= 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k
+    JOIN survivors s ON s.doc_id = k.doc_id
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation composite every training
+    pipeline runs: quality gate (token floor) → exact dedup keeping the
+    min-doc_id survivor → deterministic content-hash split. Three §2
+    operators in ONE plan, which is the point: Catalyst fuses the gate
+    into the scan, the dedup is the only shuffle (groupBy text), and
+    split assignment stays map-side after the semi-join."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    kept = d.select("doc_id", "text", n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") >= 5
+    )
+    survivors = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1),
+    )
+    return (
+        kept.join(survivors, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(nib <= 12, "train")
+            .when(nib <= 14, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE strpos('0123456789abcdef', substring(md5(text), 1, 1)) <= 4
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample, uniform WITHIN each language stratum
+    because the content-hash nibble is independent of lang. Unlike
+    sampleBy (seeded pseudo-random over partition order) this is
+    reproducible across engines, runs, and repartitions — the property
+    an auditable training-data pipeline needs from its sampler."""
+    d = table(spark, sf_dir, "documents")
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1),
+    )
+    return d.filter(nib <= 4).select("doc_id", "lang")

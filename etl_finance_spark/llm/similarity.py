@@ -286,6 +286,10 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
             .select("vec_id", F.col("best.cell").alias("cell"),
                     F.col("best.vec").alias("vec"))
         )
+        # localCheckpoint the 16-row model each pass: without it every
+        # downstream consumer (corpus assign AND query assign) re-runs
+        # the whole k-means lineage from the raw scan — the model is
+        # trivially small, the lineage behind it is not.
         cent = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
             .groupBy("cell", "pos")
@@ -297,7 +301,7 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
                     lambda s: s.getField("m"),
                 ).alias("cvec")
             )
-        )
+        ).localCheckpoint()
     return cent
 
 
