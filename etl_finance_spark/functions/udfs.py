@@ -113,3 +113,29 @@ def grouped_weighted_avg(df: DataFrame, key: str, value: str, weight: str,
         return pd.DataFrame({key: [pdf[key].iloc[0]], out: [v]})
 
     return df.groupBy(key).applyInPandas(agg, schema=out_schema)
+
+
+@register(
+    "q_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               AS weighted_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas UDAF as a DECLARED query (round-2: previously
+    unit-only): quantity-weighted mean price per return flag, oracle
+    re-expressed in pure SQL. Exists to drive the custom-aggregate API
+    end-to-end; a production pipeline computes this exact shape with
+    built-in sum()/sum() which partial-aggregates map-side, where
+    applyInPandas must materialize each whole group in one Arrow batch."""
+    li = table(spark, sf_dir, "lineitem")
+    out = grouped_weighted_avg(
+        li, key="l_returnflag", value="l_extendedprice", weight="l_quantity"
+    )
+    return out.select(
+        "l_returnflag", F.round("weighted_avg", 6).alias("weighted_avg")
+    )

@@ -267,3 +267,32 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last.value").alias("last_value"),
         )
     )
+
+
+@register(
+    "q_skew_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant exact distinct: COUNT(DISTINCT) on a hot group
+    funnels that group's entire key set through one reducer; salting by
+    a deterministic function OF THE DISTINCT KEY (suppkey % 16) keeps
+    each key in exactly one salt bucket, so per-(group, salt) distincts
+    sum to the true per-group distinct while the hot group fans across
+    16 reducers. Same two-phase shape AQE's skew mitigation cannot
+    apply to distinct aggregates on its own."""
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.select(
+        "l_returnflag", "l_suppkey",
+        F.pmod(F.col("l_suppkey"), F.lit(16)).alias("salt"),
+    )
+    per_salt = salted.groupBy("l_returnflag", "salt").agg(
+        F.countDistinct("l_suppkey").alias("nd")
+    )
+    return per_salt.groupBy("l_returnflag").agg(
+        F.sum("nd").alias("n_suppliers")
+    )
