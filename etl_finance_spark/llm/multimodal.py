@@ -183,3 +183,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+    ), f AS (
+        SELECT media_id, text, n,
+               greatest(1, n // 3) AS step,
+               unnest([0, 1, 2]) AS frame_idx
+        FROM m
+    )
+    SELECT media_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * step + 1, step))
+                AS BIGINT) AS frame_len,
+           md5(substring(text, frame_idx * step + 1, step)) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-analog fan-out DECLARED (round 2): each media row
+    explodes to 3 frame rows through the mapInPandas sampler; payloads
+    are ASCII so byte-slice frames equal the oracle's substrings and the
+    whole fan-out is EXACT-checkable (length + md5 per frame)."""
+    frames = sample_frames(media_table(spark, sf_dir), n_frames=3)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

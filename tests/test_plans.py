@@ -109,3 +109,38 @@ def test_ntile_scalable_broadcasts_cutpoints_no_global_sort(spark):
     plan = _simple(spark, "q_win_ntile_scalable")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_corpus_prep_pushes_quality_gate_and_prunes(spark):
+    """The quality gate must reach the scan as a pushed filter region
+    (length computed post-scan but the plan must not read unused cols),
+    and the only exchanges are the dedup groupBy + semi-join."""
+    plan = _formatted(spark, "q_corpus_prep")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read and "source" not in read  # column pruning
+    simple = _simple(spark, "q_corpus_prep")
+    assert "SortMergeJoin" in simple or "BroadcastHashJoin" in simple or \
+        "ShuffledHashJoin" in simple
+
+
+def test_skew_distinct_two_phase_shape(spark):
+    """Two HashAggregate pairs (per-salt distinct, then merge), with
+    partial aggregation before each shuffle."""
+    plan = _simple(spark, "q_skew_distinct")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_stream_pair_join_is_equi_join(spark):
+    """The time band must be a post-filter on a user_id equi-join —
+    never a cartesian/NestedLoop over events×events."""
+    plan = _simple(spark, "q_stream_pair_join")
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_split_and_sample_are_map_side_only(spark):
+    """Content-hash split/sample must not shuffle: no Exchange at all."""
+    for name in ("q_split_deterministic", "q_stratified_sample"):
+        plan = _simple(spark, name)
+        assert "Exchange" not in plan, name
