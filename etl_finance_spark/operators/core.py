@@ -688,3 +688,27 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clicks, purchases = daily("click", "click_avg"), daily("purchase", "purchase_avg")
     return clicks.join(purchases, on="day", how="full")
+
+
+@register(
+    "q_time_range_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-08 00:00:00'
+    """,
+)
+def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_between pushdown scan as declared surface: the range
+    predicate is applied to the RAW int64-nanosecond column before the
+    timestamp conversion, so parquet row-group min/max statistics prune
+    at the scan (a filter on the converted column never reaches it —
+    derived-column predicates don't push). At 100 TB with date
+    partitioning this is reading a week instead of the table. Plan test
+    pins PushedFilters; see catalog.events_between."""
+    from etl_finance_spark.catalog import events_between
+
+    return events_between(
+        spark, sf_dir, "2024-02-01 00:00:00", "2024-02-08 00:00:00"
+    ).select("event_id", "user_id", "event_type")

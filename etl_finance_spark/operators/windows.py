@@ -390,3 +390,25 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return events.select("event_id", z.alias("z"))
+
+
+@register(
+    "q_win_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           round(cume_dist() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey
+           ), 6) AS cd
+    FROM orders
+    """,
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per customer — the remaining rank-family member
+    (rownum/rank/percent_rank/ntile already declared); entity-
+    partitioned like every window here, unique tiebreak pins ties."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", F.round(F.cume_dist().over(w), 6).alias("cd")
+    )
