@@ -142,20 +142,31 @@ def lsh_band_keys(df: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                 queries_subset_of_vectors: bool = False) -> DataFrame:
     """Approximate top-k: candidates share any LSH band with the query;
     exact cosine re-rank on the (deduplicated) candidates. Recall
     measured vs brute force in tests/test_llm.py.
 
     Shuffle hygiene: the band join + pair dedup carries only ids — the
     64-dim vectors attach *after* dedup (shuffling arrays through a
-    distinct would dominate the plan at scale)."""
-    vb = lsh_band_keys(vectors).select(
+    distinct would dominate the plan at scale). When the query set is a
+    subset of the corpus (the common self-search case), pass
+    ``queries_subset_of_vectors=True``: query bands are then a
+    broadcast-semi-filtered view of the corpus bands instead of a
+    second full hash pass over the query vectors."""
+    bands = lsh_band_keys(vectors)
+    vb = bands.select(
         F.col("vec_id").alias("cid"), "band_idx", "band_bits",
     )
-    qb = lsh_band_keys(queries).select(
-        F.col("vec_id").alias("qid"), "band_idx", "band_bits",
-    )
+    if queries_subset_of_vectors:
+        qb = bands.join(
+            F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("qid"), "band_idx", "band_bits")
+    else:
+        qb = lsh_band_keys(queries).select(
+            F.col("vec_id").alias("qid"), "band_idx", "band_bits",
+        )
     cand = (
         qb.join(vb, ["band_idx", "band_bits"])
         .filter(F.col("cid") != F.col("qid"))
@@ -231,7 +242,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-LLM-4 scale rung: bucketed ANN (recall-tested vs brute force)."""
     emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERY)
-    return ann_lsh_topk(emb, queries, TOP_K)
+    return ann_lsh_topk(emb, queries, TOP_K, queries_subset_of_vectors=True)
 
 
 # --- IVF (inverted-file) ANN — the coarse-quantizer alternative to LSH ------
