@@ -44,13 +44,14 @@ _QUERY_MODULES = (
     "etl_finance_spark.llm.dedup",
     "etl_finance_spark.llm.similarity",
     "etl_finance_spark.llm.textstats",
-    "etl_finance_spark.llm.multimodal",
     "etl_finance_spark.streaming.windows",
     "etl_finance_spark.operators.setops",
     "etl_finance_spark.operators.reshape",
     "etl_finance_spark.functions.udfs",
     "etl_finance_spark.operators.aggregates",
+    "etl_finance_spark.llm.multimodal",
     "etl_finance_spark.llm.clusters",
+    "etl_finance_spark.llm.quality",
     "etl_finance_spark.streaming.joins",
     "etl_finance_spark.functions.families",
     "etl_finance_spark.plans.analytics",
