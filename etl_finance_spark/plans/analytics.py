@@ -406,3 +406,92 @@ def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', date_trunc('microseconds', ts))
+                   ORDER BY date_trunc('microseconds', ts), event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', date_trunc('microseconds', ts))
+                   ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC
+               ) AS rn_d
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(floor(epoch(h)) AS BIGINT) AS hour_start,
+           event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling — THE finance downsampling primitive the
+    reference's tick pipeline feeds (etl.py OHLCV ingest). Open/close
+    are min/max-of-struct aggregates ordered by (ts, unique event_id):
+    one groupBy with full map-side partial aggregation, against the
+    oracle's two-window formulation — same result, half the shuffles,
+    and no per-group sort. High/low/count ride the same pass."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.groupBy("event_type", h.alias("h"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).getField("value")
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).getField("value")
+            .alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp("h").alias("hour_start"),
+            "event_type", "open", "high", "low", "close", "n",
+        )
+    )
+
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least two orders. The self-join is keyed on the ORDER (pair fan-out
+    bounded by basket size squared, ~tens per order), never on the
+    part — the plan a recommender's candidate generator uses at scale."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
