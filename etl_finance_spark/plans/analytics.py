@@ -495,3 +495,54 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "q_session_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grouped AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n
+        FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(avg(n), 6) AS avg_events,
+           CAST(max(n) AS BIGINT) AS max_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary on top of the session_window operator
+    (the composite a product-analytics user runs daily): Spark
+    sessionizes with the native merging session_window — no lag/
+    running-sum windows — then one re-aggregation per user. The oracle
+    derives identical sessions via the gaps-and-islands formulation."""
+    from etl_finance_spark.streaming.windows import session_counts
+
+    ev = table(spark, sf_dir, "events")
+    per_session = session_counts(ev)
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n"), 6).alias("avg_events"),
+            F.max("n").alias("max_events"),
+        )
+    )

@@ -303,3 +303,21 @@ def test_write_upsert_reraises_non_missing_errors(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], ["k", "v"])
     with pytest.raises(Exception):
         write_upsert(spark, df, str(bad), ["k"])
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    """Source-format breadth beyond parquet/csv/json/jdbc: ORC columnar
+    round-trip (schema + values survive) and line-oriented text."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], ["id", "name", "v"]
+    )
+    orc_path = str(tmp_path / "d.orc")
+    df.write.orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    text_path = str(tmp_path / "d.txt")
+    df.select(F.concat_ws("|", "id", "name").alias("value")).write.text(text_path)
+    lines = sorted(r.value for r in spark.read.text(text_path).collect())
+    assert lines == ["1|alpha", "2|beta"]
