@@ -38,11 +38,13 @@ def main() -> None:
             raise ValueError("bench runs batch plans only")
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm the JVM/codegen once with the cheapest query so q-times are
-    # not dominated by first-job startup.
-    first = specs.get("q_scan_parquet")
-    if first is not None:
-        run(first)
+    # Warm the JVM/codegen across the main plan shapes (scan, shuffle
+    # agg, window) so the alphabetically-first measured queries don't
+    # absorb first-job startup and whole-stage-codegen compilation.
+    for warm_name in ("q_scan_parquet", "q_agg_groupby", "q_win_rownum"):
+        warm = specs.get(warm_name)
+        if warm is not None:
+            run(warm)
     total = 0.0
     for name, spec in sorted(specs.items()):
         t0 = time.time()

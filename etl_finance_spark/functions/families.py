@@ -313,3 +313,36 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("source").alias("src_v"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@register(
+    "q_array_hof3",
+    oracle="""
+    SELECT doc_id,
+           list_contains(string_split(text, ' '), 'table') AS has_table,
+           len(list_filter(string_split(text, ' '),
+                           x -> length(x) >= 10)) = 0 AS all_short,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> length(x) >= 5)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS BIGINT)
+               AS total_chars
+    FROM documents
+    """,
+)
+def q_array_hof3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate/fold higher-order functions (exists, forall, filter,
+    aggregate) — the remaining HOF quartet after transform/zip_with.
+    All whole-stage-codegen'd lambdas, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: x == "table").alias("has_table"),
+        F.forall(toks, lambda x: F.length(x) < 10).alias("all_short"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 5)).cast("long")
+        .alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("long").alias("total_chars"),
+    )

@@ -296,3 +296,46 @@ def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_salt.groupBy("l_returnflag").agg(
         F.sum("nd").alias("n_suppliers")
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — the disambiguator that tells a real NULL
+    group from a rollup subtotal row (without it cube output is
+    ambiguous for nullable keys). Bit order (left key = MSB) matches
+    the SQL standard on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_median_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 6) AS med_qty,
+           round(median(l_extendedprice), 6) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (the 50th percentile special-case both
+    engines implement natively; interpolation arithmetic is identical
+    double math so 6dp rounding is stable)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+    )
