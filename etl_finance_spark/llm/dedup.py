@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
 from etl_finance_spark.registry import register
@@ -336,3 +337,90 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash(docs)
+
+
+def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    candidate generation) — same output as exact_jaccard_pairs, far
+    fewer candidates.
+
+    Tokens get a global rarity order (ascending document frequency,
+    token tiebreak); each doc keeps only its first
+    ``n - ceil(tau*n) + 1`` tokens as its prefix. For any pair with
+    J >= tau the globally-smallest common token provably falls in BOTH
+    prefixes (if it missed A's prefix, all common tokens would sit in
+    A's suffix of size ceil(tau*n)-1 < tau*|A| <= |A∩B|), so the
+    prefix-prefix join is complete. Exact verification then runs only
+    on surviving candidates. At 100 TB this is the difference between
+    joining on every token occurrence and joining on the rare tail —
+    the inverted-index rung's hot tokens (stopwords) never generate
+    candidates here because they sort to the END of the order."""
+    toks = doc_tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        .filter(
+            F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+        )
+        .select("doc_id", "tok")
+    )
+    a = prefix.select(F.col("doc_id").alias("d1"), "tok")
+    b = prefix.select(F.col("doc_id").alias("d2"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
+    shared = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+@register(
+    "q_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < {DOC_CAP}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= {JACCARD_TAU}
+    """,
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-LLM-2 scale algorithm: prefix-filtered exact Jaccard — the
+    oracle is the brute-force inverted-index SQL, proving the filter
+    loses nothing while generating a fraction of the candidates
+    (asserted in tests/test_llm.py)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
+    return jaccard_pairs_prefix(docs, JACCARD_TAU)

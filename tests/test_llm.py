@@ -164,3 +164,40 @@ def test_connected_components_matches_networkless_union_find(spark):
     got = {r.node: r.component for r in
            connected_components(pairs).collect()}
     assert got == expect
+
+
+def test_prefix_filter_matches_inverted_index_with_fewer_candidates(spark):
+    """Prefix filtering must return the IDENTICAL pair set as the full
+    inverted-index join, while its candidate join is strictly smaller."""
+    from etl_finance_spark.llm.dedup import (
+        doc_tokens, exact_jaccard_pairs, jaccard_pairs_prefix,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    full = sorted(map(tuple, exact_jaccard_pairs(docs, 0.8).collect()))
+    pref = sorted(map(tuple, jaccard_pairs_prefix(docs, 0.8).collect()))
+    assert full == pref
+    # candidate volume: full index joins every token occurrence; the
+    # prefix join touches only the rare-token prefix slice
+    toks = doc_tokens(docs)
+    full_cand = (
+        toks.alias("a").join(toks.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id")).count()
+    )
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window as W
+
+    sizes = toks.groupBy("doc_id").agg(SF.count(SF.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(SF.count(SF.lit(1)).alias("df"))
+    prefix = (
+        toks.join(freq, "tok").join(sizes, "doc_id")
+        .withColumn("r", SF.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "tok")))
+        .filter(SF.col("r") <= SF.col("n") - SF.ceil(SF.lit(0.8) * SF.col("n")) + 1)
+        .select("doc_id", "tok")
+    )
+    pref_cand = (
+        prefix.alias("a").join(prefix.alias("b"), "tok")
+        .filter(SF.col("a.doc_id") < SF.col("b.doc_id")).count()
+    )
+    assert pref_cand < full_cand / 5, (pref_cand, full_cand)
