@@ -79,12 +79,41 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("node", F.col("label").alias("component"))
 
 
-@register("q_dedup_clusters", oracle=None)  # WEAK: iterative fixpoint
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 500
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT d1, d2
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+    ), sym AS (
+        SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs
+    ), reach(node, r) AS (
+        SELECT DISTINCT d1, d1 FROM sym
+        UNION
+        SELECT reach.node, s.d2 FROM reach JOIN sym s ON s.d1 = reach.r
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment over the exact-Jaccard near-dup edges: every
     clustered doc mapped to its component's min doc_id (the survivor).
-    Not SQL-expressible as a fixed query (iterative fixpoint) — unit
-    tests pin component structure on crafted graphs instead."""
+    The oracle computes the same components via a recursive-CTE
+    transitive closure (viable at oracle scale; the Spark side's
+    delta-checked label propagation is the distributed formulation), so
+    the iterative algorithm is EXACT-checked, not just unit-tested."""
     from etl_finance_spark.llm.dedup import exact_jaccard_pairs
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
