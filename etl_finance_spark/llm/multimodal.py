@@ -176,9 +176,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None)  # WEAK: pandas-UDF internals
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           round(list_avg(list_transform(
+               generate_series(1, length(text)),
+               i -> ascii(substring(text, i, 1)))), 6) AS mean_byte
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub features; determinism + batch shape unit-tested."""
+    """Decode-stub features through the mapInPandas Arrow path, EXACT-
+    checked (round 2; was rows-only): payloads are ASCII, so the numpy
+    byte mean equals the oracle's character-code mean — the Python
+    decode plumbing itself is what the oracle now verifies. Batch shape
+    and per-window features stay unit-tested."""
     feats = extract_features(media_table(spark, sf_dir))
     return feats.select(
         "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
