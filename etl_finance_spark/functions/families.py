@@ -346,3 +346,39 @@ def q_array_hof3(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0), lambda acc, x: acc + F.length(x)
         ).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "q_map_funcs2",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) || ',' || upper(source) AS vals_upper,
+           CAST((CASE WHEN lang >= 'es' THEN 1 ELSE 0 END)
+                + (CASE WHEN source >= 'es' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge_es,
+           'lang=' || lang || ';source=' || source AS flattened
+    FROM documents
+    """,
+)
+def q_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_values, map_filter,
+    map entry fold) — DuckDB has no map lambdas, so the oracle derives
+    each expected value directly from the underlying columns; what is
+    being verified is Spark's map-HOF semantics against first
+    principles."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    upper_m = F.transform_values(m, lambda k, v: F.upper(v))
+    kept = F.map_filter(m, lambda k, v: v >= F.lit("es"))
+    entries = F.transform(
+        F.map_entries(m),
+        lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.map_values(upper_m), ",").alias("vals_upper"),
+        F.size(kept).cast("long").alias("n_ge_es"),
+        F.array_join(entries, ";").alias("flattened"),
+    )
