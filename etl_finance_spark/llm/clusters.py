@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
 from etl_finance_spark.registry import register
@@ -194,3 +195,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("text").cast("binary")), 1, 1),
     )
     return d.filter(nib <= 4).select("doc_id", "lang")
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1)
+                    * 4096.0
+                + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)
+                    * 256.0
+                + (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1)
+                    * 16.0
+                + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1)
+                + 0.5) / 65536.0 AS unif
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, lang,
+               round(-ln(unif) / n_chars, 6) AS es_key
+        FROM u
+    )
+    SELECT doc_id, lang, es_key FROM (
+        SELECT doc_id, lang, es_key,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY es_key, doc_id
+               ) AS rn
+        FROM keyed
+    ) WHERE rn <= 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, distributed and
+    DETERMINISTIC: the A-ES (exponential sort-key) scheme with the
+    "random" uniform derived from the content hash — per-doc key
+    -ln(u)/w (weight = n_chars), smallest k keys per language stratum
+    win. Selection probabilities follow the weights exactly as in
+    Efraimidis–Spirakis, but reruns, repartitions, and both engines
+    agree bit-for-bit. Top-k per stratum is a bounded window — at
+    scale, a partial top-k aggregate per partition then merge."""
+    d = table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text").cast("binary"))
+    def nib(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(md5, i, 1)) - 1
+    unif = (
+        nib(1) * 4096.0 + nib(2) * 256.0 + nib(3) * 16.0 + nib(4) + 0.5
+    ) / 65536.0
+    keyed = d.select(
+        "doc_id", "lang",
+        F.round(-F.log(unif) / F.col("n_chars"), 6).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "es_key")
+    )
