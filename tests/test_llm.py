@@ -66,9 +66,11 @@ def test_ann_recall_vs_brute_force(spark):
     aset = {(r.qid, r.cid) for r in ann}
     assert len(bset) == 50 * TOP_K
     recall = len(aset & bset) / len(bset)
-    # Unclustered synthetic vectors are LSH's worst case; the floor
-    # asserts the banding finds signal, not noise.
-    assert recall >= 0.15, f"recall {recall:.3f}"
+    # Unclustered synthetic vectors are LSH's worst case. Fixtures and
+    # hyperplanes are deterministic, so recall is a constant (0.452 on
+    # sf0.001); the floor sits just below it to catch any algorithmic
+    # regression while staying robust to fixture regeneration.
+    assert recall >= 0.4, f"recall {recall:.3f}"
     # every ANN hit must carry the exact cosine of the brute-force path
     bcos = {(r.qid, r.cid): r.cosine for r in brute}
     for r in ann:
@@ -100,10 +102,10 @@ def test_ivf_recall_and_determinism(spark):
     bset = {(r.qid, r.cid) for r in brute}
     iset = {(r.qid, r.cid) for r in ivf}
     recall = len(iset & bset) / len(bset)
-    # nprobe=2 of 16 cells reads ~1/8 of the corpus; on unclustered
-    # synthetic vectors the floor asserts routing beats random (which
-    # would land near nprobe/ncells = 0.125).
-    assert recall >= 0.15, f"recall {recall:.3f}"
+    # nprobe=2 of 16 cells reads ~1/8 of the corpus; measured recall is
+    # a deterministic 0.52 on sf0.001 — 4x better than the 0.125 random
+    # routing would give. Floor just below the constant.
+    assert recall >= 0.45, f"recall {recall:.3f}"
     # ivf cosines are exact (rerank is the brute-force formula)
     bcos = {(r.qid, r.cid): r.cosine for r in brute}
     for r in ivf:
