@@ -339,3 +339,34 @@ def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), 6).alias("med_qty"),
         F.round(F.median("l_extendedprice"), 6).alias("med_price"),
     )
+
+
+@register(
+    "q_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0
+               AS qty_price_cov,
+           round(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / sample + population covariance) —
+    single-pass mergeable moment aggregates, the same partial-agg
+    profile as sum/avg. Covariance of 1e4-scale values rounds 2dp
+    (magnitude rule); correlation and the small-scale covariance
+    round 6. The ``+ 0.0`` canonicalizes IEEE negative zero: a ~-1e-9
+    covariance rounds to -0.0 on one engine and 0.0 on the other,
+    which hashes (and sorts) differently."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0))
+        .alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0))
+        .alias("qty_price_cov"),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + F.lit(0.0))
+        .alias("disc_tax_cov"),
+    )

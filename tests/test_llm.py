@@ -203,3 +203,36 @@ def test_prefix_filter_matches_inverted_index_with_fewer_candidates(spark):
         .filter(SF.col("a.doc_id") < SF.col("b.doc_id")).count()
     )
     assert pref_cand < full_cand / 5, (pref_cand, full_cand)
+
+
+def test_split_proportions_and_repartition_invariance(spark):
+    """Content-hash split: proportions near 12/2/2 sixteenths, and the
+    assignment is identical under any repartitioning."""
+    from etl_finance_spark import registry
+
+    fn = registry.collect()["q_split_deterministic"].fn
+    out = fn(spark, SF_SMOKE)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.60 <= counts["train"] / total <= 0.90
+    assert counts["val"] / total <= 0.25 and counts["test"] / total <= 0.25
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.repartition(13).collect()))
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavier_docs(spark):
+    """A-ES keys must bias selection toward larger weights: the sampled
+    docs' mean n_chars exceeds the population mean (deterministic data,
+    deterministic assert)."""
+    from etl_finance_spark import registry
+
+    sample = registry.collect()["q_weighted_sample"].fn(spark, SF_SMOKE)
+    docs = table(spark, SF_SMOKE, "documents")
+    samp_mean = (
+        sample.join(docs, sample.doc_id == docs.doc_id)
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > pop_mean, (samp_mean, pop_mean)

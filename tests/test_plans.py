@@ -144,3 +144,13 @@ def test_split_and_sample_are_map_side_only(spark):
     for name in ("q_split_deterministic", "q_stratified_sample"):
         plan = _simple(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_ohlc_and_latest_aggregate_map_side(spark):
+    """Open/close (min/max-of-struct) and latest-per-key must partial-
+    aggregate before the shuffle — the reason they beat the window
+    formulation."""
+    for name in ("q_ohlc_hourly", "q_latest_per_key"):
+        plan = _simple(spark, name)
+        assert "partial_min" in plan or "partial_max" in plan, name
+        assert "Window" not in plan, name
