@@ -546,3 +546,33 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_events"),
         )
     )
+
+
+@register(
+    "q_snapshot_apply",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0
+                THEN round(o_totalprice * 2, 2)
+                ELSE round(o_totalprice, 2) END AS price
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def q_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of q_snapshot_diff: applying the change set to the
+    old snapshot reconstructs the new one exactly (the oracle IS the
+    new snapshot, computed directly). Removed/changed keys anti-join
+    out of old, then added/changed rows append — the standard
+    merge-apply a parquet-based CDC consumer runs per batch."""
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    diff = q_snapshot_diff(spark, sf_dir)
+    drop_keys = diff.filter(
+        F.col("change_type").isin("removed", "changed")
+    ).select("o_orderkey")
+    upserts = diff.filter(
+        F.col("change_type").isin("added", "changed")
+    ).select("o_orderkey", F.col("new_price").alias("price"))
+    return old.join(drop_keys, "o_orderkey", "left_anti").unionByName(upserts)
