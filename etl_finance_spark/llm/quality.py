@@ -42,8 +42,17 @@ from etl_finance_spark.registry import register
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-bigram ratio per document (0 = no repeated phrasing,
     →1 = boilerplate). The Gopher-style repetition gate; everything
-    stays inside whole-stage codegen via transform/array_distinct."""
-    d = table(spark, sf_dir, "documents")
+    stays inside whole-stage codegen via transform/array_distinct.
+
+    The scan is rebalanced to defaultParallelism first: shingle
+    construction is CPU-dense per row, and a corpus stored in fewer
+    file splits than cores would otherwise run the whole pass on a
+    handful of tasks (4x wall-clock on the bench fixture, which is one
+    row group). When input splits already exceed core count the
+    exchange is a cheap rebalance of a few MB of text per task."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("text", " ")
     grams = F.when(
         F.size(toks) >= 2,
