@@ -412,3 +412,88 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.round(F.cume_dist().over(w), 6).alias("cd")
     )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    ), j AS (
+        SELECT s.user_id, s.day, d.v
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ), w AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wp AS pd,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv)
+                           * datediff('day', pd, day) * 1.0
+                           / datediff('day', pd, nd) END, 6) AS v_interp
+    FROM w
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing daily values per entity — the
+    time-series repair step past LOCF (q_fill_forward): a per-user day
+    spine left-joins the observed daily means, then two ignore-nulls
+    windows carry the bracketing known points and the gap is filled
+    proportionally. Boundary gaps fall back to nearest-known. All
+    windows partition by user — no global sort; the spine explode is
+    bounded by each user's active date range."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pd_ = F.last(known_day, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nd = F.first(known_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        "user_id", "day", F.round(interp, 6).alias("v_interp")
+    )
