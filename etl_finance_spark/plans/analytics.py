@@ -576,3 +576,55 @@ def q_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("change_type").isin("added", "changed")
     ).select("o_orderkey", F.col("new_price").alias("price"))
     return old.join(drop_keys, "o_orderkey", "left_anti").unionByName(upserts)
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT m.event_type,
+           round(m.med, 6) AS med,
+           round(d.mad, 6) AS mad,
+           (SELECT count(*) FROM events e
+            WHERE e.event_type = m.event_type AND e.value IS NOT NULL
+              AND abs(e.value - m.med) > 3 * d.mad) AS n_outliers
+    FROM med m JOIN dev d USING (event_type)
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median absolute deviation
+    instead of stddev (a single fat-tailed burst inflates sigma and
+    hides every other outlier; MAD doesn't). Two grouped exact medians
+    with a broadcast-size re-join of the per-group stats — the robust
+    twin of q_zscore."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    stats = med.join(dev, "event_type")
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
