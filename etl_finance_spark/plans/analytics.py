@@ -628,3 +628,84 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), offsets AS (
+        SELECT f.cohort_week,
+               datediff('week', f.cohort_week, a.week) AS off,
+               a.user_id
+        FROM activity a JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week,
+           count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS w0,
+           count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS w1,
+           count(DISTINCT CASE WHEN off = 2 THEN user_id END) AS w2,
+           count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS w3
+    FROM offsets
+    GROUP BY cohort_week
+    """,
+)
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort table in its deliverable shape: one row per cohort
+    week, one column per week offset (the matrix analysts actually
+    read). Conditional count-distincts in a single aggregation pass —
+    same plan Spark's pivot() produces, with explicit column names."""
+    events = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = events.select("user_id", week.alias("week")).distinct()
+    off = (F.datediff("week", "cohort_week") / 7).cast("long")
+    offsets = activity.join(firsts, "user_id").select(
+        "cohort_week", off.alias("off"), "user_id"
+    )
+    def wk(i: int):
+        return F.countDistinct(
+            F.when(F.col("off") == i, F.col("user_id"))
+        ).alias(f"w{i}")
+    return offsets.groupBy("cohort_week").agg(wk(0), wk(1), wk(2), wk(3))
+
+
+@register(
+    "q_interarrival",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT)
+                   - CAST(floor(epoch(lag(date_trunc('microseconds', ts)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY date_trunc('microseconds', ts), event_id
+                     ))) AS BIGINT) AS dt_s
+        FROM events
+    )
+    SELECT event_type,
+           round(median(dt_s), 6) AS med_s,
+           round(quantile_cont(dt_s, 0.9), 6) AS p90_s,
+           count(dt_s) AS n_gaps
+    FROM deltas
+    GROUP BY event_type
+    """,
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type (the ops-health metric
+    behind alerting thresholds): per-entity lag deltas in whole epoch
+    seconds — integer math, so cross-engine percentile interpolation
+    stays exact — then grouped median/p90."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    deltas = ev.select("event_type", dt.alias("dt_s"))
+    return deltas.groupBy("event_type").agg(
+        F.round(F.median("dt_s"), 6).alias("med_s"),
+        F.round(F.expr("percentile(dt_s, 0.9)"), 6).alias("p90_s"),
+        F.count("dt_s").alias("n_gaps"),
+    )
