@@ -712,3 +712,36 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_between(
         spark, sf_dir, "2024-02-01 00:00:00", "2024-02-08 00:00:00"
     ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "q_profile_events",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(*) - count(value) AS n_value_nulls,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           CAST(floor(epoch(min(date_trunc('microseconds', ts))))
+                AS BIGINT) AS min_ts_epoch,
+           CAST(floor(epoch(max(date_trunc('microseconds', ts))))
+                AS BIGINT) AS max_ts_epoch,
+           round(avg(value), 6) AS mean_value
+    FROM events
+    """,
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the first query every ingest pipeline runs
+    against a new drop (row count, null density, key cardinalities,
+    time bounds, value center) in ONE aggregation pass over the scan.
+    All aggregates are mergeable, so the profile costs a single
+    map-side-combined shuffle regardless of table size."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_value_nulls"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.unix_timestamp(F.min("ts")).alias("min_ts_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("max_ts_epoch"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
