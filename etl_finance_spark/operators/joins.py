@@ -248,3 +248,74 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.min("l_shipdate").cast("date").alias("first_ship_date")
     )
+
+
+@register(
+    "q_join_asof_events",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, 0 AS side, event_id,
+               event_id AS click_id, value AS click_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS side, event_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM events WHERE event_type = 'purchase'
+    ), f AS (
+        SELECT user_id, ts, side, event_id,
+               last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+               last_value(click_value IGNORE NULLS) OVER w AS last_click_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           date_trunc('microseconds', ts) AS ts,
+           last_click_id AS click_id, last_click_value AS click_value
+    FROM f WHERE side = 1
+    """,
+)
+def q_join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact as-of join (X-JOIN-7 at stream-stream scale): for each
+    purchase event, the most recent click at-or-before it by the same
+    user. q_join_asof's equi-join + min-agg recipe works when one side
+    is dimension-like, but here BOTH sides are fact streams — the
+    join+filter formulation fans out to |clicks_u| x |purchases_u| rows
+    per user before aggregating. The union trick never joins at all:
+    tag each side, union, and fill the click id/value forward within a
+    (user, ts, side, event_id)-ordered window, then keep purchase rows.
+    Cost = ONE shuffle-sort of clicks+purchases on user_id, linear in
+    input — the plan that survives 100 TB of events on both sides.
+    Ties: a click at the purchase's exact ts counts (side orders clicks
+    first); among same-ts clicks the max event_id wins (window order
+    makes the pick deterministic on both engines)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = clicks.unionByName(purchases).select(
+        "user_id", "ts", "side", "event_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return filled.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("last_click_id").alias("click_id"),
+        F.col("last_click_value").alias("click_value"),
+    )

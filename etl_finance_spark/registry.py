@@ -31,15 +31,9 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Modules that register queries. Imported lazily by collect() so partial
-# breakage in one family can't take down the whole surface.
-#
-# ORDER MATTERS for the driver: its correctness harness oracle-checks
-# roughly the first 50 queries in registration order (plans.flagship is
-# always first — __spark_entry__ imports it directly). Round 1 proved
-# core/joins/windows green, so round 2 leads with the families the
-# driver has never checked (llm, streaming, setops, reshape, udfs) plus
-# aggregates (holds the one round-1 red row, q_bool_aggs, now fixed).
-# Rotate again next round to cover the remainder.
+# breakage in one family can't take down the whole surface. Import order
+# no longer decides the driver's correctness window — _DRIVER_WINDOW
+# below does, explicitly and per-query.
 _QUERY_MODULES = (
     "etl_finance_spark.llm.dedup",
     "etl_finance_spark.llm.similarity",
@@ -59,7 +53,100 @@ _QUERY_MODULES = (
     "etl_finance_spark.operators.core",
     "etl_finance_spark.operators.joins",
     "etl_finance_spark.plans.flagship",
+    "etl_finance_spark.plans.tpch2",
+    "etl_finance_spark.llm.corpus",
 )
+
+# The driver oracle-checks exactly the FIRST ~50 names in the order
+# queries()/oracle_sql() iterate, so collect() re-orders its output:
+# the names below come first (in this order), everything else follows
+# in registration order. This replaces the round-1/2 module-rotation
+# trick with per-query control. Round-3 composition:
+#   1 flagship + 5 sentinels (one per previously-green family, plus the
+#   once-red q_bool_aggs so the historical fix stays driver-watched),
+#   then every query that has NO driver row yet (r01 ∪ r02 checked 90 of
+#   149), hardest-to-get-right families first. Names past ~position 50
+#   and the 14 deferred functions.families scalars rotate in next round.
+_DRIVER_WINDOW = (
+    # flagship — the shim's entry() query, always first
+    "q_pct_change_hourly",
+    # sentinels: regression canaries for families proven in r01/r02
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_win_rownum",
+    "q_dedup_text",
+    "q_bool_aggs",
+    # new this round: fact-fact self-asof over events
+    "q_join_asof_events",
+    # never-driver-checked: clusters / sampling (iterative + sampling risk)
+    "q_dedup_clusters",
+    "q_corpus_prep",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    # multimodal (mapInPandas Arrow plumbing)
+    "q_multimodal_meta",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    # quality tier 2
+    "q_repetition_score",
+    "q_lexical_diversity",
+    # aggregates tier 2
+    "q_histogram",
+    "q_latest_per_key",
+    "q_skew_distinct",
+    "q_agg_grouping_id",
+    "q_median_by_group",
+    "q_corr_covar",
+    # composite analytics (16)
+    "q_cohort_retention",
+    "q_funnel",
+    "q_regional_revenue",
+    "q_large_orders",
+    "q_string_agg",
+    "q_rolling_active_users",
+    "q_snapshot_diff",
+    "q_two_nation_volume",
+    "q_returned_revenue_topk",
+    "q_ohlc_hourly",
+    "q_copurchase_pairs",
+    "q_session_stats",
+    "q_snapshot_apply",
+    "q_mad_outliers",
+    "q_retention_matrix",
+    "q_interarrival",
+    # windows tier 2 (11)
+    "q_win_ntile_scalable",
+    "q_win_lead",
+    "q_win_first_last",
+    "q_fill_forward",
+    "q_win_range_frame",
+    "q_win_pct_rank",
+    "q_topk",
+    "q_win_topk_per_group",
+    "q_zscore",
+    "q_win_cume_dist",
+    "q_interpolate_linear",
+    # stream-batch pair join
+    "q_stream_pair_join",
+    # raw-scan pair — lowest novelty of the unchecked set; positions ~51+
+    # slip out of an exactly-50 window and rotate into round 4 with the
+    # functions.families scalars
+    "q_time_range_scan",
+    "q_profile_events",
+)
+
+
+def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Priority names first (skipping any not registered), then the rest
+    in registration order."""
+    out: dict[str, QuerySpec] = {}
+    for name in _DRIVER_WINDOW:
+        if name in registered:
+            out[name] = registered[name]
+    for name, spec in registered.items():
+        if name not in out:
+            out[name] = spec
+    return out
 
 
 def register(name: str, oracle: str | None):
@@ -77,7 +164,7 @@ def register(name: str, oracle: str | None):
 def collect() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    return _window_order(dict(_REGISTRY))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -154,3 +154,68 @@ def test_ohlc_and_latest_aggregate_map_side(spark):
         plan = _simple(spark, name)
         assert "partial_min" in plan or "partial_max" in plan, name
         assert "Window" not in plan, name
+
+
+def test_q6_scan_filter_agg_fully_pushed(spark):
+    """Q6 is the canonical pushdown probe: every comparable predicate
+    reaches the parquet reader and the sum partial-aggregates."""
+    plan = _formatted(spark, "q_forecast_revenue")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read  # pruned: only the 4 used columns
+    assert "partial_sum" in _simple(spark, "q_forecast_revenue")
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8: the only sort-merge/shuffle join may be orders-lineitem;
+    every dim side must be broadcast."""
+    plan = _simple(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # one fact-fact join at most (orderkey); never a shuffle of part/
+    # supplier/customer/nation/region
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_custdist_single_exchange_family(spark):
+    """Q13: join and first groupBy share the custkey partitioning; the
+    second aggregation must partial-aggregate map-side."""
+    plan = _simple(spark, "q_custdist")
+    assert "partial_count" in plan
+
+
+def test_top_supplier_no_global_sort(spark):
+    """Q15 picks the max-revenue supplier via a 1-row broadcast back,
+    not a global window/sort over the aggregate."""
+    plan = _simple(spark, "q_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_idle_customers_anti_join(spark):
+    plan = _simple(spark, "q_idle_customers")
+    assert "LeftAnti" in plan
+
+
+def test_pack_contexts_partitions_by_shard(spark):
+    """Packing must never global-sort: the running sum windows over the
+    shard key."""
+    plan = _simple(spark, "q_pack_contexts")
+    assert "hashpartitioning(shard" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The corpus side must stream through a broadcast hash join on the
+    (bounded) eval grams — never shuffle the corpus by gram text."""
+    plan = _simple(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_asof_events_single_user_shuffle_no_join(spark):
+    """The union+fill-forward asof never joins: one window over
+    user_id is the whole plan."""
+    plan = _simple(spark, "q_join_asof_events")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
