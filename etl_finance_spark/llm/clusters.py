@@ -54,6 +54,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "d2"), "d2"
@@ -76,7 +77,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         ).filter(F.col("label") != F.col("old"))
         labels = new_labels
         if delta.isEmpty():
+            converged = True
             break
+    if not converged:
+        # Exhausting the guard is indistinguishable from convergence to
+        # callers otherwise — and unconverged labels are silently WRONG
+        # (some nodes still carry a non-minimal reachable id). Fail loud.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "passes; raise max_iter (labels would be unreliable)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

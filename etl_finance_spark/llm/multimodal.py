@@ -75,14 +75,16 @@ def _decode_real(payload: bytes):  # pragma: no cover - libs absent here
     )
 
 
-def _decode_fake(payload: bytes) -> list[float]:
+def _decode_fake(payload: bytes) -> list[float] | None:
     """Deterministic stand-in for decode→feature-extract: chunk the
     bytes into N_FEATURES windows and take per-window byte means
-    (numpy-vectorized — the batch shape a real decoder would use)."""
+    (numpy-vectorized — the batch shape a real decoder would use).
+    Empty payloads yield NULL (there is no mean of zero bytes), which
+    matches the SQL convention (`list_avg([])` is NULL) the oracles use."""
     import numpy as np
 
     if not payload:
-        return [0.0] * N_FEATURES
+        return None
     arr = np.frombuffer(payload, dtype=np.uint8)
     step = max(1, len(arr) // N_FEATURES)
     out = []
@@ -115,7 +117,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(len),
                 "mean_byte": [
-                    float(np.frombuffer(p, dtype=np.uint8).mean()) if p else 0.0
+                    float(np.frombuffer(p, dtype=np.uint8).mean()) if p else None
                     for p in payloads
                 ],
                 "features": feats,

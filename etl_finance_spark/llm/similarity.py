@@ -250,6 +250,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 16
 N_PROBE = 2
 LLOYD_ITERS = 2
+CHECKPOINT_EVERY = 4  # Lloyd passes between lineage cuts; see ivf_centroids
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -274,6 +275,7 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
         vectors.orderBy("vec_id").limit(N_CELLS)
         .select(F.row_number().over(w).alias("cell"), F.col("vec").alias("cvec"))
     )
+    it = 0
     for _ in range(LLOYD_ITERS):
         # nearest cell as a min-of-struct aggregate, not a row_number
         # window: the 16 candidate rows per vector live in the SAME
@@ -297,10 +299,6 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
             .select("vec_id", F.col("best.cell").alias("cell"),
                     F.col("best.vec").alias("vec"))
         )
-        # localCheckpoint the 16-row model each pass: without it every
-        # downstream consumer (corpus assign AND query assign) re-runs
-        # the whole k-means lineage from the raw scan — the model is
-        # trivially small, the lineage behind it is not.
         cent = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
             .groupBy("cell", "pos")
@@ -312,7 +310,18 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
                     lambda s: s.getField("m"),
                 ).alias("cvec")
             )
-        ).localCheckpoint()
+        )
+        # checkpoint cadence: every CHECKPOINT_EVERY passes plus the
+        # final model. Each localCheckpoint is an eager job — at
+        # LLOYD_ITERS=2 checkpointing every pass spent more wall-clock
+        # on job barriers than it saved in lineage (round-3 A/B), while
+        # NEVER checkpointing regrows the plan exponentially with the
+        # iteration count (round-2 finding). The downstream consumers
+        # (corpus + query routing) always see a checkpointed 16-row
+        # model, so they never replay k-means lineage.
+        it += 1
+        if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
+            cent = cent.localCheckpoint()
     return cent
 
 
@@ -352,6 +361,14 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     rung: the cell join carries ids, vectors re-attach for the rerank.
     At scale the cell id becomes the corpus PARTITION key, so a probe
     touches nprobe/ncells of the data instead of all of it."""
+    # The corpus feeds 2 + 2*LLOYD_ITERS consumers (seeding, every
+    # Lloyd assign, corpus routing, rerank); without a persist each one
+    # re-runs the scan + unit-vec projection (VERDICT.md round-2 item 7
+    # — q_ann_ivf_topk was 2x the next-slowest query on recompute alone).
+    # persist() (MEMORY_AND_DISK) rather than localCheckpoint: evictable,
+    # spillable, and the cached fragment substitutes into the queries
+    # frame too (it is a filter over the same corpus plan).
+    vectors = vectors.persist()
     cent = ivf_centroids(vectors)
     corpus_cells = ivf_assign(vectors, cent, 1).select(
         F.col("vec_id").alias("cid"), "cell"

@@ -114,10 +114,15 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global quartiles: a deliberate single-partition window — at scale
-    this becomes approx percentile_disc bucketing; kept here because the
-    reference surface includes rank-style global bucketing, with the
-    unique tiebreak making tile assignment deterministic."""
+    """Exact-ntile ORACLE RUNG, not the production plan — the window
+    has no partitionBy, so every row funnels through one task; this
+    dies at 100x data by design. The production plan for global
+    bucketing is q_win_ntile_scalable (value cut points from one
+    percentile_disc pass + map-side CASE; swaps to approx_percentile at
+    scale). This rung stays declared only because the reference surface
+    includes exact rank-style global bucketing and the unique tiebreak
+    makes tile assignment deterministic for the oracle; cap its input
+    (as the percentile rung does) before pointing it at real data."""
     orders = table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return orders.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))

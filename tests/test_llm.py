@@ -236,3 +236,85 @@ def test_weighted_sample_prefers_heavier_docs(spark):
     )
     pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     assert samp_mean > pop_mean, (samp_mean, pop_mean)
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """ADVICE round-2: exhausting max_iter must fail loud, not return
+    silently-unconverged labels. A 6-node path graph needs ~3 passes;
+    max_iter=1 cannot converge it."""
+    import pytest
+
+    from etl_finance_spark.llm.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=1)
+    # and the same graph converges fine with headroom
+    labels = connected_components(edges, max_iter=20)
+    assert labels.select("component").distinct().count() == 1
+
+
+def test_multimodal_empty_payload_yields_null(spark):
+    """ADVICE round-2: an empty payload must produce NULL mean_byte /
+    features (list_avg([]) is NULL in the oracle), not 0.0."""
+    from etl_finance_spark.llm.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[2].mean_byte is None
+    assert rows[2].features is None
+    assert rows[2].n_bytes == 0
+    assert rows[1].mean_byte == float(sum(b"abc")) / 3
+
+
+def test_pack_contexts_invariants(spark):
+    """Packing layout: offsets are contiguous within each shard (each
+    doc starts where the previous ended), chunk_pos < CTX_LEN, and
+    token totals are preserved."""
+    from etl_finance_spark import registry
+    from etl_finance_spark.llm.corpus import CTX_LEN
+
+    out = registry.collect()["q_pack_contexts"].fn(spark, SF_SMOKE)
+    rows = out.orderBy("shard", "doc_id").collect()
+    pos = {}
+    for r in rows:
+        assert r.off == pos.get(r.shard, 0), (r.shard, r.doc_id)
+        assert 0 <= r.chunk_pos < CTX_LEN
+        assert r.chunk_id == r.off // CTX_LEN
+        pos[r.shard] = r.off + r.n_tokens
+    docs = table(spark, SF_SMOKE, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing an eval doc's exact text must be flagged
+    with at least its distinct 5-gram count."""
+    from etl_finance_spark.llm.corpus import EVAL_CAP, NGRAM_N
+    from etl_finance_spark.llm.dedup import word_ngrams
+
+    docs = table(spark, SF_SMOKE, "documents")
+    eval_doc = docs.filter(F.col("doc_id") == 0).collect()[0]
+    planted = spark.createDataFrame(
+        [(900000, eval_doc.text)], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    grams = word_ngrams(corpus, n=NGRAM_N)
+    eval_g = grams.filter(F.col("doc_id") < EVAL_CAP).select("tok").distinct()
+    hits = {
+        r.doc_id: r.shared_grams
+        for r in grams.filter(F.col("doc_id") >= EVAL_CAP)
+        .join(F.broadcast(eval_g), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+        .collect()
+    }
+    n_grams_doc0 = grams.filter(F.col("doc_id") == 0).count()
+    assert hits.get(900000) == n_grams_doc0
