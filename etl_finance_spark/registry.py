@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.plans.flagship",
     "etl_finance_spark.plans.tpch2",
     "etl_finance_spark.llm.corpus",
+    "etl_finance_spark.plans.analytics2",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order

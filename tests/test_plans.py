@@ -219,3 +219,31 @@ def test_asof_events_single_user_shuffle_no_join(spark):
     plan = _simple(spark, "q_join_asof_events")
     assert "Join" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_pagerank_lineage_cut_and_mass_conserved(spark):
+    """The returned frame must sit on a checkpoint (bounded plan after
+    3 iterations — the un-cut lineage grows per pass), and total rank
+    mass must stay 1 (the power iteration preserves a distribution:
+    teleport mass + damped neighbor mass, symmetric graph, no dangling
+    nodes)."""
+    plan = _simple(spark, "q_pagerank")
+    assert "Scan ExistingRDD" in plan  # localCheckpoint'ed result
+    total = (
+        SPECS["q_pagerank"].fn(spark, SF_CORRECT)
+        .agg({"pagerank": "sum"}).collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6, total
+
+
+def test_event_transitions_shares_user_window_shuffle(spark):
+    plan = _simple(spark, "q_event_transitions")
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_count" in plan
+
+
+def test_ohlc_daily_reagg_two_partial_agg_passes(spark):
+    """Both the hourly and the daily aggregation must partial-aggregate
+    before their exchanges (the re-aggregation is lossless AND cheap)."""
+    plan = _simple(spark, "q_ohlc_daily_reagg")
+    assert plan.count("partial_min") >= 2
