@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.plans.tpch2",
     "etl_finance_spark.llm.corpus",
     "etl_finance_spark.plans.analytics2",
+    "etl_finance_spark.plans.tpch3",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order

@@ -247,3 +247,32 @@ def test_ohlc_daily_reagg_two_partial_agg_passes(spark):
     before their exchanges (the re-aggregation is lossless AND cheap)."""
     plan = _simple(spark, "q_ohlc_daily_reagg")
     assert plan.count("partial_min") >= 2
+
+
+def test_pricing_summary_single_codegen_scan(spark):
+    """Q1: predicate pushed to parquet, partial aggs before the one
+    tiny exchange — the whole query is scan + fused agg."""
+    plan = _formatted(spark, "q_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    simple = _simple(spark, "q_pricing_summary")
+    assert "partial_sum" in simple
+    assert simple.count("Exchange") == 1
+
+
+def test_min_cost_supplier_broadcasts_dims(spark):
+    """Q2 shape: every dim side broadcast; the only sort-merge-scale
+    exchange is the (partkey, suppkey) cost rollup."""
+    plan = _simple(spark, "q_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_supplier_cnt_anti_join_broadcasts(spark):
+    plan = _simple(spark, "q_supplier_cnt")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_excess_suppliers_semi_join_chain(spark):
+    plan = _simple(spark, "q_excess_suppliers")
+    assert plan.count("LeftSemi") >= 2
