@@ -185,3 +185,190 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= PER_SOURCE_CAP)
     )
+
+
+SEG_K = 8       # words per aligned segment for span-level dedup
+SEG_MIN_DOCS = 2  # a segment in >= this many distinct docs is boilerplate
+CHUNK_LEN = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # chunk start stride (CHUNK_LEN - overlap)
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(
+                   w[i*{SEG_K}+1:i*{SEG_K}+{SEG_K}], ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(generate_series(
+                 0, CAST(floor((len(w)-1)/{SEG_K}) AS INT))) AS t(i)
+    ), common AS (
+        SELECT seg FROM segs
+        GROUP BY seg HAVING count(DISTINCT doc_id) >= {SEG_MIN_DOCS}
+    ), kept AS (
+        SELECT s.doc_id, s.idx, s.seg
+        FROM segs s ANTI JOIN common c ON s.seg = c.seg
+    ), totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs
+        GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           string_agg(k.seg, ' ' ORDER BY k.idx) AS clean_text,
+           CAST(any_value(t.n_segs) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal — the RefinedWeb/CCNet line-level dedup
+    re-cut onto aligned SEG_K-word segments (fixture docs carry no
+    newlines): any exact segment appearing in >= SEG_MIN_DOCS distinct
+    docs corpus-wide (headers, footers, license banners at web scale)
+    is stripped from every doc, and the survivors re-join in order.
+    Three shuffles, all on bounded keys: segment -> distinct-doc count
+    (map-side partial), an ids-only broadcast-able common-set anti
+    join, and the per-doc re-assembly groupBy. The re-assembly sorts
+    each doc's surviving segments INSIDE the aggregate (array_sort of
+    (idx, seg) structs), not via a window — no per-doc sort pass.
+    Docs that are 100% boilerplate drop out (inner semantics, both
+    engines). At 100 TB the common-set is tiny by definition (segments
+    repeated across docs) and broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(w) - 1) / SEG_K).cast("int")
+                ),
+                lambda i: F.array_join(F.slice(w, i * SEG_K + 1, SEG_K), " "),
+            )
+        ).alias("idx", "seg"),
+    )
+    common = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SEG_MIN_DOCS)
+        .select("seg")
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    kept = segs.join(F.broadcast(common), "seg", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.col("n_segs") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
+# Blocklist term active in the fixtures; the email/phone patterns are the
+# production point but match nothing in synthetic text (asserted in
+# tests/test_llm.py so a fixture change can't silently blind them).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    (r"\bcustomer\b", "<TERM>"),
+)
+
+
+@register(
+    "q_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?\d[\d -]{7,}\d', '<PHONE>', 'g'),
+               '\bcustomer\b', '<TERM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d'))
+             + len(regexp_extract_all(text, '\bcustomer\b'))
+             AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / blocklist scrubbing — chained regexp_replace passes
+    (emails, phone numbers, blocklisted terms) plus a per-doc match
+    count for audit sampling. Pure map-side JVM regex over the scan:
+    no shuffle, no UDF; at 100 TB this runs at parquet-read bandwidth
+    and composes with any downstream op. Patterns stay in shared
+    RE2/Java syntax (no lookbehind) so the oracle runs them verbatim."""
+    docs = table(spark, sf_dir, "documents")
+    red = F.col("text")
+    n = F.lit(0).cast("long")
+    for pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+        n = n + F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    return docs.select(
+        "doc_id", red.alias("redacted"), n.cast("long").alias("n_redactions")
+    )
+
+
+@register(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, w, len(w) AS n,
+               1 + CAST(ceil(greatest(0, len(w) - {CHUNK_LEN})
+                             / {CHUNK_STRIDE}.0) AS INT) AS n_chunks
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+               w[i*{CHUNK_STRIDE}+1:i*{CHUNK_STRIDE}+{CHUNK_LEN}],
+               ' ') AS chunk_text,
+           CAST(least({CHUNK_LEN}, n - i*{CHUNK_STRIDE}) AS BIGINT)
+               AS n_tokens
+    FROM t, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — each doc becomes overlapping
+    CHUNK_LEN-token training chunks on a CHUNK_STRIDE grid (the
+    tokenize-and-window step before packing; overlap preserves
+    cross-boundary context). Chunk count is 1 + ceil((n - LEN)/STRIDE)
+    so every token lands in >= 1 chunk and no chunk is a strict suffix
+    of its predecessor. Pure map-side explode: the fan-out multiplies
+    rows ~n/STRIDE but never shuffles; at 100 TB the chunker pipelines
+    straight into the packing shuffle's map phase."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.lit(0), n - CHUNK_LEN) / float(CHUNK_STRIDE)
+        ).cast("int")
+    )
+    return docs.select(
+        "doc_id", w.alias("w"), n.alias("n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "i"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("w", F.col("i") * CHUNK_STRIDE + 1, CHUNK_LEN), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_LEN), F.col("n") - F.col("i") * CHUNK_STRIDE)
+        .cast("long").alias("n_tokens"),
+    )

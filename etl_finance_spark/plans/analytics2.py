@@ -76,12 +76,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (parts linked when bought
     together in >= 2 orders), PR_ITERS fixed power iterations with
     0.85 damping. Each pass is one equi-join on src + one groupBy on
-    dst — the same linear-shuffle shape as connected_components, with
-    the edge list and per-pass ranks localCheckpoint'ed (lineage cut;
-    reliable checkpoint() on a cluster). The normalizer and degree
-    frames broadcast; nothing ever collects to the driver. The graph
-    is symmetric so no dangling-mass term is needed (every node has
-    out-degree >= 1)."""
+    dst — the same linear-shuffle shape as connected_components. The
+    edge list, the loop-INVARIANT frames (teleport base = nodes x 1/n,
+    degree), and each pass's ranks all localCheckpoint (lineage cut;
+    reliable checkpoint() on a cluster). Materializing the invariants
+    once matters as much as cutting the loop lineage: left lazy, the
+    node-set distinct and the degree groupBy re-execute inside every
+    one of the PR_ITERS passes. Nothing ever collects to the driver.
+    The graph is symmetric so no dangling-mass term is needed (every
+    node has out-degree >= 1)."""
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -103,25 +106,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct()
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("deg")
-    )
+    ).localCheckpoint()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    # teleport base: every node with (1 - d)/n already applied — the
+    # per-pass left join adds only the damped neighbor mass
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        (F.lit(1.0) / F.col("n")).alias("pr0"),
+        ((1 - PR_DAMP) / F.col("n")).alias("teleport"),
+    ).localCheckpoint()
+    pr = base.select("node", F.col("pr0").alias("pr"))
+    deg_src = F.broadcast(deg.withColumnRenamed("node", "src"))
     for _ in range(PR_ITERS):
         contrib = (
             sym.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .join(deg_src, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
         )
         pr = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "node", "left")
+            base.join(contrib, "node", "left")
             .select(
                 "node",
                 (
-                    (1 - PR_DAMP) / F.col("n")
+                    F.col("teleport")
                     + PR_DAMP * F.coalesce("contrib", F.lit(0.0))
                 ).alias("pr"),
             )

@@ -88,8 +88,12 @@ def test_word_ngrams_degenerate_docs(spark):
         [(1, "solo"), (2, ""), (3, "two tokens"), (4, "a b c")],
         ["doc_id", "text"],
     )
-    got = {(r.doc_id, r.tok) for r in word_ngrams(docs, 2).collect()}
-    assert got == {(3, "two tokens"), (4, "a b"), (4, "b c")}
+    got = {(r.doc_id, tuple(r.tok)) for r in word_ngrams(docs, 2).collect()}
+    assert got == {
+        (3, ("two", "tokens")),
+        (4, ("a", "b")),
+        (4, ("b", "c")),
+    }
 
 
 def test_ivf_recall_and_determinism(spark):
@@ -318,3 +322,28 @@ def test_decontaminate_flags_planted_overlap(spark):
     }
     n_grams_doc0 = grams.filter(F.col("doc_id") == 0).count()
     assert hits.get(900000) == n_grams_doc0
+
+
+def test_pii_patterns_match_real_pii(spark):
+    """The fixture text contains no emails/phones, so the declared
+    query exercises only the blocklist term — this pins the other two
+    patterns against synthetic PII so a regex regression can't hide
+    behind the fixture."""
+    from etl_finance_spark.llm.corpus import PII_PATTERNS
+
+    rows = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+spam@sub.example.co.uk today"),
+            (2, "call +1 800 555 0199 or 040-1234567 now"),
+            (3, "customer asked a customer about customers"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = F.col("text")
+    for pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    got = {r.doc_id: r.out for r in rows.select("doc_id", red.alias("out")).collect()}
+    assert got[1] == "contact <EMAIL> today"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    # \b keeps "customers" intact; bare "customer" is scrubbed
+    assert got[3] == "<TERM> asked a <TERM> about customers"
