@@ -57,6 +57,8 @@ _QUERY_MODULES = (
     "etl_finance_spark.llm.corpus",
     "etl_finance_spark.plans.analytics2",
     "etl_finance_spark.plans.tpch3",
+    "etl_finance_spark.plans.analytics3",
+    "etl_finance_spark.llm.mlprep",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order

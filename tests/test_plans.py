@@ -276,3 +276,33 @@ def test_supplier_cnt_anti_join_broadcasts(spark):
 def test_excess_suppliers_semi_join_chain(spark):
     plan = _simple(spark, "q_excess_suppliers")
     assert plan.count("LeftSemi") >= 2
+
+
+def test_sessionize_and_scd2_single_user_exchange(spark):
+    """Gaps-and-islands and the SCD2 build must ride ONE
+    hashpartitioning(user_id) exchange — both windows and the rollup
+    share it; nothing global, no second shuffle of the fact."""
+    for name in ("q_sessionize_gaps", "q_scd2_build"):
+        plan = _simple(spark, name)
+        assert plan.count("hashpartitioning(user_id") >= 1, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_dq_expectations_no_global_sort(spark):
+    plan = _simple(spark, "q_dq_expectations")
+    assert "BroadcastHashJoin" in plan  # referential rule anti join
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ewma_one_shuffle_no_udf(spark):
+    plan = _simple(spark, "q_ewma")
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_embed_standardize_broadcasts_stats(spark):
+    """The 64-row stats side broadcasts; the corpus itself never hits
+    an exchange keyed on pos."""
+    plan = _simple(spark, "q_embed_standardize")
+    assert "BroadcastHashJoin" in plan
