@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.plans.tpch3",
     "etl_finance_spark.plans.analytics3",
     "etl_finance_spark.llm.mlprep",
+    "etl_finance_spark.plans.finance",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order

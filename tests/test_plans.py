@@ -306,3 +306,36 @@ def test_embed_standardize_broadcasts_stats(spark):
     an exchange keyed on pos."""
     plan = _simple(spark, "q_embed_standardize")
     assert "BroadcastHashJoin" in plan
+
+
+def test_finance_tier_single_entity_exchange(spark):
+    """Drawdown / Bollinger / RSI: daily rollup + every window frame
+    ride ONE hashpartitioning(user_id) exchange; nothing global."""
+    for name in ("q_drawdown", "q_bollinger", "q_rsi"):
+        plan = _simple(spark, name)
+        assert plan.count("hashpartitioning(user_id") >= 1, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_vwap_partial_agg_no_window(spark):
+    """VWAP is a pure one-shuffle rollup: map-side partial sums before
+    the exchange, no window operator at all."""
+    plan = _simple(spark, "q_vwap")
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_finance_tier2_single_entity_exchange(spark):
+    """Stochastic / OBV / MACD: same contract as tier 1 — everything
+    rides hashpartitioning(user_id), nothing global."""
+    for name in ("q_stochastic", "q_obv", "q_macd"):
+        plan = _simple(spark, name)
+        assert plan.count("hashpartitioning(user_id") >= 1, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_beta_broadcasts_market(spark):
+    """q_beta: the one-row-per-day market re-agg comes back onto the
+    fact via broadcast, not a second fact shuffle."""
+    plan = _simple(spark, "q_beta")
+    assert "BroadcastHashJoin" in plan
