@@ -48,19 +48,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) arrives as long ns (see session.py);
-        # truncate to Spark's native µs precision as TIMESTAMP_NTZ —
-        # timezone-independent and type-consistent with the other
-        # fixture timestamps (Spark infers NTZ for their ms parquet).
-        # The DuckDB oracle mirrors with date_trunc('microseconds', ts).
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        # Normalize events.ts to TIMESTAMP_NTZ at µs precision, whatever
+        # the fixture generation wrote. Two physical layouts have shipped:
+        # parquet TIMESTAMP(NANOS) (arrives as long ns under the
+        # nanosAsLong conf; rounds ≤3 early) and parquet TIMESTAMP(MICROS)
+        # (arrives as TIMESTAMP_NTZ directly; current). Branching on the
+        # scanned dtype keeps every declared query working against both —
+        # the DuckDB oracle mirrors with date_trunc('microseconds', ts),
+        # which is ns-truncation on the old layout and identity on the new.
+        df = df.withColumn("ts", _ts_to_ntz_us(df))
     return df
+
+
+def _ts_to_ntz_us(df: DataFrame) -> F.Column:
+    """events.ts → TIMESTAMP_NTZ(µs), adaptive to the scanned dtype."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    return F.col("ts").cast("timestamp_ntz")
 
 
 def events_between(spark: SparkSession, sf_dir: str,
@@ -76,6 +85,8 @@ def events_between(spark: SparkSession, sf_dir: str,
     reading the table."""
     import datetime as _dt
 
+    from pyspark.sql.types import LongType
+
     def ns(s: str) -> int:
         t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
         # int(t.timestamp()) * 1e9 would silently drop fractional
@@ -84,16 +95,17 @@ def events_between(spark: SparkSession, sf_dir: str,
         return int(t.timestamp()) * 10**9 + t.microsecond * 1_000
 
     _ensure_session_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        (F.col("ts") >= ns(start)) & (F.col("ts") < ns(end))
-    )
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestampadd(MICROSECOND, ts div 1000,"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ),
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # old ns-long layout: int64 bounds prune at row-group statistics
+        lo, hi = F.lit(ns(start)), F.lit(ns(end))
+    else:
+        # µs-timestamp layout: native timestamp literals push down the
+        # same way (comparisons on the stored column, not a derived one)
+        lo = F.to_timestamp_ntz(F.lit(start))
+        hi = F.to_timestamp_ntz(F.lit(end))
+    raw = raw.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    return raw.withColumn("ts", _ts_to_ntz_us(raw))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
