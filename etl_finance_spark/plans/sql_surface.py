@@ -1,0 +1,171 @@
+"""Modern SQL surface: recursive CTEs (Spark 4.x WITH RECURSIVE),
+correlated LATERAL subqueries, null-distinctness semantics, and
+multi-measure pivot.
+
+These are query shapes the reference's pandas script answers with
+driver-side Python loops (e.g. month-range generation is a driver loop
+at /root/reference/etl.py `get_dates`); here each one is a single
+declarative plan Catalyst optimizes and DuckDB mirrors verbatim.
+
+Scale notes are per-query: recursion and lateral are the two shapes
+where a naive formulation explodes at 100 TB, so each docstring states
+the bound that keeps it safe and names the dedicated operator to prefer
+when the bound doesn't hold (llm/clusters.py connected components,
+operators/windows.py top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.registry import register
+
+# Shared verbatim by the Spark query and the DuckDB oracle: identical
+# SQL text is the strongest possible parity statement for the recursive
+# iteration semantics (seed row, per-level join expansion, UNION ALL
+# accumulation, post-hoc min-depth dedup).
+_BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 10 = 0
+),
+bfs(pk, depth) AS (
+    SELECT CAST(min(l_partkey) AS BIGINT) AS pk, 0 AS depth
+    FROM lineitem WHERE l_orderkey % 10 = 0
+  UNION ALL
+    SELECT e.dst, b.depth + 1
+    FROM bfs b JOIN edges e ON e.src = b.pk
+    WHERE b.depth < 2
+)
+SELECT pk, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY pk
+"""
+
+_LATERAL_SQL = """
+SELECT n_name, x.c_name, x.bal
+FROM nation, LATERAL (
+    SELECT c_name, round(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) x
+"""
+
+
+def _register_views(spark: SparkSession, sf_dir: str,
+                    names: tuple[str, ...]) -> None:
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register("q_recursive_bfs", oracle=_BFS_SQL)
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the co-purchase graph via WITH
+    RECURSIVE — seed at the smallest part in the sampled order slice,
+    expand along same-order edges, keep each part's minimum depth.
+    Spark 4 executes the recursion as an iterative union-of-levels
+    plan; the bounds that keep it sane are explicit: the edge list is
+    order-sampled (1/10 of orders), expansion stops at depth 2, and
+    dedup happens in the final min-depth aggregate. UNBOUNDED
+    transitive closure this way is exponential in path count — for
+    full-graph reachability at 100 TB use the delta-checked
+    connected-components fixpoint (llm/clusters.py:84), which this
+    query exists to contrast. Both engines run this literal SQL
+    text."""
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_BFS_SQL)
+
+
+@register("q_lateral_topn", oracle=_LATERAL_SQL)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each nation
+    row invokes a top-2-customers-by-balance probe. Catalyst rewrites
+    the lateral into a ranked window under the hood (the decorrelation
+    the optimizer owes us); semantics match the dedicated
+    q_win_topk_per_group, which is the operator to reach for when the
+    outer side is a fact table rather than a 25-row dim. Unique
+    c_custkey tiebreak makes the LIMIT deterministic. Identical SQL
+    text on both engines."""
+    _register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    SELECT
+        (NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS ns_eq_f,
+        (o_orderstatus IS DISTINCT FROM 'O') AS not_open,
+        CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL
+             THEN 'unknown' ELSE 'known' END AS known_flag,
+        coalesce(NULLIF(o_orderstatus, 'P'), 'none') AS status_or_none,
+        CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: null-safe equality (<=> /
+    IS NOT DISTINCT FROM), IS DISTINCT FROM, nvl2-style presence
+    branching, and coalesce fallback — grouped so the result is the
+    4-row truth table with counts. This is the semantics layer under
+    the reference's `.fillna` / `.dropna` calls, pinned cross-engine:
+    NULL <=> 'F' is false (not NULL), NULL IS DISTINCT FROM 'O' is
+    true. All derived pre-shuffle; the aggregate collapses map-side."""
+    orders = table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    derived = orders.select(
+        status_n.eqNullSafe(F.lit("F")).alias("ns_eq_f"),
+        (~F.col("o_orderstatus").eqNullSafe(F.lit("O"))).alias("not_open"),
+        F.nvl2(status_n, F.lit("known"), F.lit("unknown"))
+        .alias("known_flag"),
+        F.coalesce(status_n, F.lit("none")).alias("status_or_none"),
+    )
+    return (
+        derived.groupBy(
+            "ns_eq_f", "not_open", "known_flag", "status_or_none")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
+    "q_pivot_multi",
+    oracle="""
+    SELECT o_orderpriority,
+        round(sum(CASE WHEN o_orderstatus = 'F'
+                       THEN o_totalprice END), 2) AS F_rev,
+        CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+             AS BIGINT) AS F_n,
+        round(sum(CASE WHEN o_orderstatus = 'O'
+                       THEN o_totalprice END), 2) AS O_rev,
+        CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+             AS BIGINT) AS O_n,
+        round(sum(CASE WHEN o_orderstatus = 'P'
+                       THEN o_totalprice END), 2) AS P_rev,
+        CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+             AS BIGINT) AS P_n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE measures per cell (revenue sum + order
+    count per status) — Spark names the output columns
+    `{value}_{alias}`, and the oracle's conditional aggregation uses
+    the same names. Pivot values are listed explicitly ('F','O','P'):
+    at 100 TB an unlisted pivot forces a distinct-values pre-query
+    AND breaks reproducibility when a new status appears mid-pipeline;
+    listing them keeps the plan one pass and the schema stable."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

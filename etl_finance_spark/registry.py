@@ -60,6 +60,10 @@ _QUERY_MODULES = (
     "etl_finance_spark.plans.analytics3",
     "etl_finance_spark.llm.mlprep",
     "etl_finance_spark.plans.finance",
+    "etl_finance_spark.operators.sketches",
+    "etl_finance_spark.functions.semistructured",
+    "etl_finance_spark.sources.pysource",
+    "etl_finance_spark.plans.sql_surface",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order
