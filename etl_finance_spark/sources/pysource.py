@@ -48,6 +48,7 @@ def register_tick_source(spark: SparkSession) -> None:
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class _RangePartition(InputPartition):
@@ -90,6 +91,35 @@ def register_tick_source(spark: SparkSession) -> None:
                 names=["tick_id", "symbol", "price", "qty"],
             )
 
+    class _TickStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch form of the same feed: the offset is the row
+        index, each batch advances it by `batch_rows` until `n`. This
+        is the shape of a cursor/checkpoint-based API poller — offsets
+        are exactly-once bookkeeping the engine persists to the
+        checkpoint, and `readBetweenOffsets` replays a committed range
+        deterministically on recovery."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 10000))
+            self.batch_rows = int(options.get("batch_rows", 1000))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            lo = int(start["i"])
+            hi = min(lo + self.batch_rows, self.n)
+            return (
+                iter([_tick_row(i) for i in range(lo, hi)]),
+                {"i": hi},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [_tick_row(i)
+                 for i in range(int(start["i"]), int(end["i"]))]
+            )
+
     class TickDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -100,6 +130,9 @@ def register_tick_source(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return _TickReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _TickStreamReader(self.options)
 
     spark.dataSource.register(TickDataSource)
 

@@ -33,3 +33,35 @@ def from_api_payload(spark: SparkSession, records: list[dict],
     stays out of the engine — at scale the listing is parallelized and
     workers fetch via mapInPandas, but the *plan* shape is identical."""
     return spark.createDataFrame(records, schema)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (ORC carries its own schema; no inference scan). Kept for parity
+    with warehouses whose history is ORC-backed (Hive-era lakes)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str,
+              whole: bool = False) -> DataFrame:
+    """Raw text lines as a one-column ('value') frame — the ingest
+    grain for log files and WET-style corpus dumps feeding the LLM
+    text operators (llm/textstats.py). wholetext=True reads one row
+    per FILE (document-grain) instead of per line; at 100 TB prefer
+    line grain so splits parallelize within large files."""
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """`binaryFile` source: (path, modificationTime, length, content)
+    with the payload as an opaque binary column — the ingestion rung
+    under llm/multimodal.py (images/audio enter the lake exactly like
+    this, then decode executor-side via mapInPandas). Filters on the
+    METADATA columns (length, path, modificationTime) push down to the
+    file listing, so "skip files > 100 MB" never reads a byte of
+    content."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

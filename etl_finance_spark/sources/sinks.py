@@ -61,3 +61,13 @@ def write_jdbc(df: DataFrame, url: str, table: str, *,
     df.write.jdbc(url=url, table=table, mode=mode,
                   properties={"batchsize": str(batchsize),
                               **(properties or {})})
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: Sequence[str] = ()) -> None:
+    """ORC twin of write_partitioned — same layout guidance (low-
+    cardinality partition keys, files > ~100 MB)."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -1,0 +1,149 @@
+"""Source/sink surface beyond parquet+CSV+JSON+JDBC: ORC round-trip,
+text lines, the binaryFile multimodal-ingest rung, the Observation API
+(single-pass ingest metrics), and the streaming form of the custom
+Python data source (offset bookkeeping + deterministic replay).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from etl_finance_spark.catalog import table
+from etl_finance_spark.sources.pysource import register_tick_source
+from etl_finance_spark.sources.readers import (
+    read_binary_files,
+    read_orc,
+    read_text,
+)
+from etl_finance_spark.sources.sinks import write_orc
+
+from conftest import SF_CORRECT
+
+
+class TestOrc:
+    def test_round_trip_partitioned(self, spark):
+        """nation → ORC partitioned by region key → read back: values
+        and schema survive (partition column comes back, possibly
+        re-typed by directory inference — compare as int)."""
+        src = table(spark, SF_CORRECT, "nation")
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "nation_orc")
+            write_orc(src, path, partition_by=["n_regionkey"])
+            back = read_orc(spark, path)
+            want = {
+                (r.n_nationkey, r.n_name, int(r.n_regionkey))
+                for r in src.collect()
+            }
+            got = {
+                (r.n_nationkey, r.n_name, int(r.n_regionkey))
+                for r in back.collect()
+            }
+            assert got == want
+
+
+class TestText:
+    def test_line_and_document_grain(self, spark):
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "a.txt")
+            with open(p, "w") as f:
+                f.write("alpha\nbeta\ngamma\n")
+            lines = read_text(spark, d)
+            assert lines.columns == ["value"]
+            assert {r.value for r in lines.collect()} == {
+                "alpha", "beta", "gamma"}
+            whole = read_text(spark, d, whole=True)
+            assert whole.count() == 1
+            assert whole.collect()[0].value == "alpha\nbeta\ngamma\n"
+
+
+class TestBinaryFile:
+    def test_content_and_metadata_filter(self, spark):
+        """Two payload files + one decoy; the glob excludes the decoy
+        and a length filter selects on metadata alone. Content bytes
+        round-trip exactly — the invariant llm/multimodal.py's decode
+        rung depends on."""
+        with tempfile.TemporaryDirectory() as d:
+            small = b"\x00\x01\x02"
+            big = bytes(range(256)) * 4
+            open(os.path.join(d, "a.bin"), "wb").write(small)
+            open(os.path.join(d, "b.bin"), "wb").write(big)
+            open(os.path.join(d, "ignore.txt"), "w").write("nope")
+            df = read_binary_files(spark, d, glob="*.bin")
+            rows = {os.path.basename(r.path): r for r in df.collect()}
+            assert set(rows) == {"a.bin", "b.bin"}
+            assert bytes(rows["a.bin"].content) == small
+            assert rows["b.bin"].length == len(big)
+            only_big = df.filter(F.col("length") > 100)
+            assert [os.path.basename(r.path)
+                    for r in only_big.collect()] == ["b.bin"]
+
+
+class TestObservation:
+    def test_single_pass_ingest_metrics(self, spark):
+        """Observation attaches metric expressions to a plan and
+        harvests them from the SAME action that produced the output —
+        the zero-extra-scan form of q_profile_events' ingest counters.
+        Metrics must equal a direct aggregate."""
+        orders = table(spark, SF_CORRECT, "orders")
+        obs = Observation("ingest")
+        observed = orders.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # DISTINCT aggregates are rejected in observed metrics
+            # (they'd break single-pass harvesting); the sketch form
+            # is the supported spelling — same trade as
+            # operators/sketches.py
+            F.approx_count_distinct("o_custkey", 0.01).alias("customers"),
+        )
+        out = observed.filter(F.col("o_orderstatus") == "F").count()
+        assert out > 0
+        direct = orders.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("customers"),
+        ).collect()[0]
+        got = obs.get
+        assert got["rows"] == direct.rows
+        assert got["revenue"] == direct.revenue
+        assert abs(got["customers"] - direct.customers) <= (
+            0.05 * direct.customers)
+
+
+class TestTickStream:
+    def test_drains_exactly_once(self, spark):
+        """The streaming form of the synthtick source: offsets advance
+        by batch_rows until n, the memory sink accumulates every row
+        exactly once, and values match the batch read (same formula,
+        same engine-checkpointed offset ranges)."""
+        register_tick_source(spark)
+        stream = (
+            spark.readStream.format("synthtick")
+            .option("n", "2500").option("batch_rows", "1000").load()
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("tick_stream_test")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            agg = spark.sql(
+                "SELECT count(*) AS n, count(DISTINCT tick_id) AS d,"
+                " min(tick_id) AS lo, max(tick_id) AS hi,"
+                " sum(qty) AS qty FROM tick_stream_test"
+            ).collect()[0]
+            assert (agg.n, agg.d, agg.lo, agg.hi) == (2500, 2500, 0, 2499)
+            batch_qty = (
+                spark.read.format("synthtick").option("n", "2500")
+                .load().agg(F.sum("qty").alias("q")).collect()[0].q
+            )
+            assert agg.qty == batch_qty
