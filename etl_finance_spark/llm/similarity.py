@@ -474,3 +474,65 @@ def q_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(docs, emb.vec_id == docs.doc_id)
         .select("vec_id", "label", "lang", "source")
     )
+
+
+SEMDEDUP_TAU = 0.35  # matches q_embed_neardup's near-dup threshold
+
+
+def semantic_dedup(vectors: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): route every vector to its coarse k-means cell,
+    compare pairs ONLY within a cell, and drop any doc that has a
+    smaller-id neighbor above the cosine threshold — the deterministic
+    "keep lowest id" survivor rule. The cell routing is what makes
+    this a 100 TB design: the all-pairs cosine never happens; the
+    quadratic term is bounded per cell, the pair join shuffles on the
+    cell key, and the corpus-side cell assignment is the shuffle-free
+    min-struct pass (ivf_assign nprobe=1). Trade-off vs exact near-dup
+    (q_embed_neardup): a cross-cell near-duplicate pair is missed —
+    that recall loss is measured, not hidden, in
+    tests/test_llm.py::TestSemanticDedup."""
+    cent = ivf_centroids(vectors)
+    cells = ivf_assign(vectors.select("vec_id", "vec"), cent, nprobe=1)
+    v = vectors.select("vec_id", "vec", "nrm").join(cells, "vec_id")
+    a = v.select("cell", F.col("vec_id").alias("d1"),
+                 F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+    b = v.select("cell", F.col("vec_id").alias("d2"),
+                 F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+    sim = (
+        a.join(b, "cell")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("n1") * F.col("n2")), 6),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    drops = (
+        sim.groupBy("d2")
+        .agg(F.min("d1").alias("dup_of"))
+        .withColumnRenamed("d2", "vec_id")
+    )
+    return (
+        v.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+@register("q_semantic_dedup", oracle=None)  # WEAK: k-means cells (iterative
+# model) aren't reasonably SQL-expressible; survivor-rule soundness is
+# brute-force-verified in tests/test_llm.py::TestSemanticDedup
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide semantic dedup verdict: (vec_id, cell, kept,
+    dup_of) for every embedding — the corpus-prep step that removes
+    semantically redundant documents before training-data assembly."""
+    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(emb, SEMDEDUP_TAU)

@@ -64,7 +64,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_customers") - F.col("exact_customers"))
             / F.col("exact_customers"), 4
         ).alias("rel_err"),
-    ).orderBy("o_orderpriority")
+    )
 
 
 @register("q_hll_union", oracle=None)  # WEAK: DataSketches estimate
@@ -89,7 +89,6 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_customers"),
             F.count("*").cast("long").alias("cells_merged"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -154,4 +153,4 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sk"), F.lit(0.9)), 2).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double(
             F.col("sk"), F.lit(0.99)), 2).alias("p99"),
-    ).orderBy("l_returnflag")
+    )

@@ -189,5 +189,4 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tick_id").alias("last_tick"),
             F.sum("qty").alias("total_qty"),
         )
-        .orderBy("symbol")
     )

@@ -339,3 +339,49 @@ def test_beta_broadcasts_market(spark):
     fact via broadcast, not a second fact shuffle."""
     plan = _simple(spark, "q_beta")
     assert "BroadcastHashJoin" in plan
+
+
+def test_variant_scan_prunes_and_pushes(spark):
+    """q_variant_get: the modulo filter reaches the parquet scan and
+    only the 3 referenced order columns are read — variant shredding
+    must not widen the scan."""
+    plan = _formatted(spark, "q_variant_get")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_custkey" not in read and "o_orderdate" not in read
+
+
+def test_pivot_multi_two_level_aggregate(spark):
+    """Multi-measure pivot compiles to the (key, pivot-col) aggregate
+    followed by pivotfirst — both levels partial-aggregate map-side,
+    and the second Exchange moves only the already-collapsed
+    |keys|×|values| cells, never raw rows."""
+    plan = _simple(spark, "q_pivot_multi")
+    assert "partial_pivotfirst" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_hll_sketch_partial_aggregates(spark):
+    """Sketch partials combine map-side (ObjectHashAggregate partial
+    pass) before any shuffle — the whole point of mergeable sketches.
+    q_hll_distinct carries a companion EXACT count-distinct column for
+    the error display, whose expand adds a second Exchange; the pure
+    sketch rollup (q_hll_union) keeps the two-level re-aggregation at
+    two Exchanges with sketch partials at both grains."""
+    plan = _simple(spark, "q_hll_distinct")
+    assert "ObjectHashAggregate" in plan
+    assert "partial_hll_sketch_agg" in plan
+    assert plan.count("Exchange") == 2  # sketch agg + exact-twin expand
+    union_plan = _simple(spark, "q_hll_union")
+    assert "partial_hll_sketch_agg" in union_plan
+    assert "partial_hll_union_agg" in union_plan
+    assert union_plan.count("Exchange") == 2  # cell grain + rollup grain
+
+
+def test_python_datasource_plans_batch_scan(spark):
+    """The custom source compiles to a v2 BatchScan over the planned
+    partitions; the per-symbol aggregate adds the only Exchange."""
+    plan = _simple(spark, "q_python_datasource")
+    assert "BatchScan synthtick" in plan
+    assert plan.count("Exchange") == 1
