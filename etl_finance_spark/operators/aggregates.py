@@ -370,3 +370,97 @@ def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.covar_pop("l_discount", "l_tax"), 6) + F.lit(0.0))
         .alias("disc_tax_cov"),
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_direct,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_rollup
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via bitmaps — the precise
+    counterpart of the HLL rung (operators/sketches.py): keys bucket
+    into fixed 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), per-bucket bitmaps OR together under
+    re-aggregation, and `bitmap_count` reads the cardinality back.
+    Two paths computed side by side and oracle-checked equal:
+    `distinct_direct` (bitmaps built at (priority, bucket) grain) and
+    `distinct_rollup` (bitmaps persisted at (priority, status, bucket)
+    grain, then `bitmap_or_agg`'d up — the incremental-rollup path).
+    vs count(DISTINCT): the shuffle carries one bitmap per bucket
+    instead of every distinct key; vs HLL: exact, but bitmap size
+    scales with the key domain rather than staying 4 KB. Dense ids →
+    bitmaps; huge sparse domains → sketches."""
+    orders = table(spark, sf_dir, "orders")
+    direct = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("o_custkey")
+            ).alias("bm")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_direct"))
+    )
+    rollup = (
+        orders.groupBy(
+            "o_orderpriority", "o_orderstatus",
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("o_custkey")
+            ).alias("bm")
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_rollup"))
+    )
+    return direct.join(rollup, "o_orderpriority")
+
+
+@register(
+    "q_mode_by_group",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority DESC) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: built-in `mode()` picks an ARBITRARY value
+    on ties, so the declared form is count + max-of-struct — ties
+    break to the lexicographically largest value, pinned identically
+    in the oracle's (n DESC, value DESC) ranking. Two aggregates whose
+    partials both collapse map-side; the max-of-struct is the same
+    argmax compaction as q_latest_per_key, never a per-group sort."""
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(F.max(F.struct("n", "o_orderpriority")).alias("top"))
+        .select(
+            "o_orderstatus",
+            F.col("top.o_orderpriority").alias("mode_priority"),
+            F.col("top.n").cast("long").alias("n"),
+        )
+    )

@@ -205,3 +205,41 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nat_avg", 6).alias("nat_avg"),
         )
     )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    SELECT o_orderkey, CAST(u.x AS BIGINT) AS val
+    FROM (
+        SELECT o_orderkey,
+               list_filter([CAST(floor(o_totalprice / 1000) AS BIGINT),
+                            CAST(floor(o_totalprice / 100) AS BIGINT),
+                            CAST(floor(o_totalprice / 10) AS BIGINT)],
+                           x -> x % 3 = 0) AS arr
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    LEFT JOIN LATERAL (SELECT unnest(arr) AS x) u ON true
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null-preservation semantics: rows whose filtered
+    array is EMPTY survive with a NULL element (plain explode silently
+    drops them — a row-loss bug class in flattening pipelines; the
+    outer variant is the safe default when the parent row must remain
+    visible). Map-side only: filter + HOF + generate, no shuffle; the
+    oracle mirrors with LEFT JOIN LATERAL unnest."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0
+    )
+    arr = F.filter(
+        F.array(
+            F.floor(F.col("o_totalprice") / 1000).cast("long"),
+            F.floor(F.col("o_totalprice") / 100).cast("long"),
+            F.floor(F.col("o_totalprice") / 10).cast("long"),
+        ),
+        lambda x: x % 3 == 0,
+    )
+    return orders.select(
+        "o_orderkey", F.explode_outer(arr).alias("val")
+    )
