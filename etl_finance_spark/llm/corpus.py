@@ -372,3 +372,58 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(CHUNK_LEN), F.col("n") - F.col("i") * CHUNK_STRIDE)
         .cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "q_array_agg_distinct",
+    oracle="""
+    SELECT source,
+           list_sort(list(DISTINCT lang)) AS langs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def q_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation into a SORTED array: collect_set's
+    order is partition-dependent (a nondeterminism bug class for any
+    downstream hash/join on the array), so the declared form always
+    wraps it in array_sort — the discipline that makes set-valued
+    columns safe to compare, hash, and re-shuffle. Per-group distinct
+    langs stay tiny; partials collapse map-side."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_sort(F.collect_set("lang")).alias("langs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q_corpus_stats",
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus data-card: per (source, lang) cell — document
+    count, whitespace-token total, mean/max length, first doc id. The
+    training-data report every corpus release ships, as ONE scan with
+    every measure a mergeable aggregate (no second pass, no driver
+    loop; the same profile-in-one-scan posture as q_profile_events).
+    At 100 TB this is the query whose partial aggregation matters
+    most: the cell count is tiny (|sources|×|langs|) while the input
+    is the whole corpus, so map-side collapse does all the work."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -63,22 +63,55 @@ def _register_views(spark: SparkSession, sf_dir: str,
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_BFS_RECURSE_SQL = """
+WITH RECURSIVE bfs(pk, depth) AS (
+    SELECT pk, 0 AS depth FROM bfs_seed
+  UNION ALL
+    SELECT e.dst, b.depth + 1
+    FROM bfs b JOIN bfs_edges e ON e.src = b.pk
+    WHERE b.depth < 2
+)
+SELECT pk, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY pk
+"""
+
+
 @register("q_recursive_bfs", oracle=_BFS_SQL)
 def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first reachability over the co-purchase graph via WITH
     RECURSIVE — seed at the smallest part in the sampled order slice,
     expand along same-order edges, keep each part's minimum depth.
     Spark 4 executes the recursion as an iterative union-of-levels
-    plan; the bounds that keep it sane are explicit: the edge list is
-    order-sampled (1/10 of orders), expansion stops at depth 2, and
-    dedup happens in the final min-depth aggregate. UNBOUNDED
-    transitive closure this way is exponential in path count — for
-    full-graph reachability at 100 TB use the delta-checked
-    connected-components fixpoint (llm/clusters.py:84), which this
-    query exists to contrast. Both engines run this literal SQL
-    text."""
-    _register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_BFS_SQL)
+    plan, and it INLINES non-recursive CTEs into every level — so the
+    loop-invariant edge list is materialized first (localCheckpoint,
+    the same invariant-materialization pattern as q_pagerank) and the
+    recursion runs over the checkpointed view: each level is then one
+    hash join against settled data instead of a re-derived self-join.
+    Bounds that keep recursion sane are explicit: order-sampled edges
+    (1/10), depth ≤ 2, min-depth dedup at the end. UNBOUNDED closure
+    this way is exponential in path count — full-graph reachability at
+    100 TB belongs to the delta-checked connected-components fixpoint
+    (llm/clusters.py:84), which this query exists to contrast. The
+    oracle runs the same logic as one self-contained SQL text (DuckDB
+    evaluates each CTE once, so it needs no materialization hint)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("bfs_edges")
+    seed = li.agg(F.min("l_partkey").cast("long").alias("pk"))
+    seed.createOrReplaceTempView("bfs_seed")
+    return spark.sql(_BFS_RECURSE_SQL)
 
 
 @register("q_lateral_topn", oracle=_LATERAL_SQL)
