@@ -464,3 +464,68 @@ def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top.n").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "q_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, avg(l_extendedprice) AS mu
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+        (round(avg((l_extendedprice - mu) ^ 3)
+               / avg((l_extendedprice - mu) ^ 2) ^ 1.5, 6) + 0.0)
+            AS skew_pop,
+        (round(avg((l_extendedprice - mu) ^ 4)
+               / avg((l_extendedprice - mu) ^ 2) ^ 2 - 3, 6) + 0.0)
+            AS kurt_excess
+    FROM lineitem JOIN m USING (l_returnflag)
+    GROUP BY l_returnflag
+    """,
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments per group: population skewness and
+    excess kurtosis — single-pass streaming-moment aggregates in Spark
+    (same mergeable partial-agg profile as variance). The oracle can't
+    use DuckDB's skewness/kurtosis (sample-corrected: diverges at 6dp
+    for small groups), so it states Spark's population definitions
+    explicitly as centered moments with a two-pass mean — the formula
+    IS the semantic contract. +0.0 guards IEEE -0.0 on the near-zero
+    skew values."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.skewness("l_extendedprice"), 6) + F.lit(0.0))
+        .alias("skew_pop"),
+        (F.round(F.kurtosis("l_extendedprice"), 6) + F.lit(0.0))
+        .alias("kurt_excess"),
+    )
+
+
+@register(
+    "q_regr_ols",
+    oracle="""
+    SELECT l_returnflag,
+        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 6)
+            AS intercept,
+        (round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0) AS r2,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression as AGGREGATES
+    (regr_slope/intercept/r2/count) — the in-database OLS both engines
+    define identically from covariance/variance partials, so the fit
+    distributes exactly like var/covar: one pass, map-side partials,
+    no feature matrix materialized. The trend-line rung under
+    q_corr_covar (direction + strength → actual fit)."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
