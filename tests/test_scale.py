@@ -96,3 +96,26 @@ def test_salted_join_salt_is_content_derived(spark):
     got_a = sorted(map(tuple, salted_join(a, small, "k", salt=4).collect()))
     got_b = sorted(map(tuple, salted_join(b, small, "k", salt=4).collect()))
     assert got_a == got_b
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Directory partitioning is the first scale lever: a filter on the
+    partition column must become a PartitionFilter (pruned at file
+    listing — zero bytes read from other partitions), not a post-scan
+    row filter."""
+    from etl_finance_spark.sources.sinks import write_partitioned
+
+    nation = table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_part")
+    write_partitioned(nation, path, partition_by=["n_regionkey"])
+    back = spark.read.parquet(path)
+    picked = back.filter(F.col("n_regionkey") == 1)
+    plan = _physical_plan(picked)
+    # the predicate must land in PartitionFilters (file-listing prune),
+    # leaving DataFilters empty — not a post-scan row filter
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "DataFilters: []" in scan
+    pf = scan.split("PartitionFilters: [", 1)[1]
+    assert "n_regionkey" in pf and "= 1)" in pf.split("]", 1)[0]
+    want = nation.filter(F.col("n_regionkey") == 1).count()
+    assert picked.count() == want and want > 0
