@@ -41,7 +41,10 @@ def main() -> None:
     # Warm the JVM/codegen across the main plan shapes (scan, shuffle
     # agg, window) so the alphabetically-first measured queries don't
     # absorb first-job startup and whole-stage-codegen compilation.
-    for warm_name in ("q_scan_parquet", "q_agg_groupby", "q_win_rownum"):
+    # q_python_datasource also warms the Python data-source worker lane
+    # (~3s one-time spin-up vs 0.6s steady-state, measured).
+    for warm_name in ("q_scan_parquet", "q_agg_groupby", "q_win_rownum",
+                      "q_python_datasource"):
         warm = specs.get(warm_name)
         if warm is not None:
             run(warm)

@@ -144,6 +144,15 @@ _DRIVER_WINDOW = (
     "q_profile_events",
 )
 
+# Round-4 rotation backlog (never driver-checked after the r03 window):
+# functions.families scalars (14), the TPC-H sweep (plans/tpch2+tpch3),
+# plans.analytics2/analytics3/finance, llm.corpus/mlprep, and the
+# round-3-session additions — operators.sketches, q_variant_get/agg,
+# q_python_datasource, plans.sql_surface, q_bitmap_distinct,
+# q_mode_by_group, q_explode_outer, q_moments, q_regr_ols,
+# q_semantic_dedup, q_corpus_stats, q_array_agg_distinct. Keep the
+# flagship + one sentinel per green family inside the next window.
+
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Priority names first (skipping any not registered), then the rest
