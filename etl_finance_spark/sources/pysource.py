@@ -64,11 +64,13 @@ def register_tick_source(spark: SparkSession) -> None:
         def partitions(self):
             # Even row-range splits: this is the planner seam where a
             # real connector would enumerate pages / shards / dates.
-            step = max(1, -(-self.n // self.parts))
+            # An empty feed still plans one empty split — the API
+            # expects at least one partition.
+            step = max(1, -(-self.n // max(1, self.parts)))
             return [
                 _RangePartition(lo, min(lo + step, self.n))
                 for lo in range(0, self.n, step)
-            ]
+            ] or [_RangePartition(0, 0)]
 
         def read(self, partition):
             # Vectorized path: yield Arrow RecordBatches, not tuples —
@@ -81,12 +83,15 @@ def register_tick_source(spark: SparkSession) -> None:
             i = np.arange(partition.start, partition.end,
                           dtype=np.int64)
             cents = 10000 + (i * 48271) % 1000
+            # explicit Arrow types: an empty object array can't infer
+            # a string type, and the schema must hold for 0-row splits
             yield pa.record_batch(
                 [
-                    pa.array(i),
-                    pa.array(np.array(SYMBOLS, dtype=object)[i % 8]),
-                    pa.array(cents / 100.0),
-                    pa.array(1 + (i * 16807) % 50),
+                    pa.array(i, type=pa.int64()),
+                    pa.array(np.array(SYMBOLS, dtype=object)[i % 8],
+                             type=pa.string()),
+                    pa.array(cents / 100.0, type=pa.float64()),
+                    pa.array(1 + (i * 16807) % 50, type=pa.int64()),
                 ],
                 names=["tick_id", "symbol", "price", "qty"],
             )

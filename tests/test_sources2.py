@@ -147,3 +147,59 @@ class TestTickStream:
                 .load().agg(F.sum("qty").alias("q")).collect()[0].q
             )
             assert agg.qty == batch_qty
+
+    def test_restart_recovers_offsets_exactly_once(self, spark):
+        """Stop after the first micro-batch (availableNow prefetches
+        exactly one simple-reader batch), then restart from the SAME
+        checkpoint: the committed offset must carry over — the second
+        run appends only rows 1000+, no duplicates, no gaps. This is
+        the recovery contract readBetweenOffsets exists for."""
+        register_tick_source(spark)
+
+        def stream():
+            return (
+                spark.readStream.format("synthtick")
+                .option("n", "2500").option("batch_rows", "1000").load()
+            )
+
+        with tempfile.TemporaryDirectory() as d:
+            ckpt, out = os.path.join(d, "ckpt"), os.path.join(d, "out")
+            q1 = (
+                stream().writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q1.awaitTermination(120)
+            first = (
+                spark.read.parquet(out)
+                .agg(F.count("*").alias("n"),
+                     F.max("tick_id").alias("hi")).collect()[0]
+            )
+            assert (first.n, first.hi) == (1000, 999)
+            q2 = (
+                stream().writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+            total = (
+                spark.read.parquet(out)
+                .agg(F.count("*").alias("n"),
+                     F.count_distinct("tick_id").alias("d"),
+                     F.min("tick_id").alias("lo"),
+                     F.max("tick_id").alias("hi")).collect()[0]
+            )
+            # resume from the committed offset: all 2500 rows exactly
+            # once across both runs — no replay, no gap
+            assert (total.n, total.d, total.lo, total.hi) == (
+                2500, 2500, 0, 2499)
+
+    def test_empty_source(self, spark):
+        from etl_finance_spark.sources.pysource import read_ticks
+
+        assert read_ticks(spark, n=0, parts=4).count() == 0
