@@ -71,3 +71,43 @@ def write_orc(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_sorted_layout(df: DataFrame, path: str, sort_cols: Sequence[str],
+                        n_files: int) -> None:
+    """Range-partition + sort-within-partitions write — the clustering
+    layout that makes min/max row-group statistics selective, so later
+    range predicates skip whole files/row-groups at scan time (parquet
+    footer pruning; the poor-man's Z-order for a single sort key).
+    At 100 TB this is the difference between "read 3 files" and "read
+    the table" for a date-range query; the file-level disjointness is
+    asserted from the written footers in tests/test_sources2.py."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       target_files: int) -> int:
+    """Small-file compaction: rewrite a directory into `target_files`
+    evenly-sized files (coalesce — no shuffle; the files were already
+    the right data, just fragmented by streaming/incremental appends).
+    Returns the file count before compaction. The operational fix for
+    the classic lake failure mode where a million 1 MB files make
+    listing and task scheduling the bottleneck rather than IO."""
+    import glob as _glob
+    import os as _os
+
+    before = len(_glob.glob(_os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (same filesystem)
+    bak = path.rstrip("/") + "__old"
+    _os.rename(path, bak)
+    _os.rename(tmp, path)
+    import shutil as _shutil
+    _shutil.rmtree(bak)
+    return before

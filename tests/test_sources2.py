@@ -203,3 +203,71 @@ class TestTickStream:
         from etl_finance_spark.sources.pysource import read_ticks
 
         assert read_ticks(spark, n=0, parts=4).count() == 0
+
+
+class TestLakeLayout:
+    def test_sorted_layout_gives_disjoint_file_ranges(self, spark,
+                                                      tmp_path):
+        """write_sorted_layout must produce files whose min/max ranges
+        on the sort key barely overlap — verified from the parquet
+        FOOTERS (the statistics scan-time pruning actually uses), not
+        from Spark's plan."""
+        import pyarrow.parquet as pq
+        from etl_finance_spark.sources.sinks import write_sorted_layout
+
+        li = table(spark, SF_CORRECT, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice")
+        path = str(tmp_path / "li_sorted")
+        write_sorted_layout(li, path, ["l_shipdate"], n_files=4)
+        ranges = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(
+                "l_shipdate")
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        assert len(ranges) == 4
+        ranges.sort()
+        # each file's range must end before the NEXT-plus-one begins:
+        # adjacent boundaries may share one value (range partitioner
+        # splits on a key), but ranges must not blanket each other
+        for i in range(len(ranges) - 1):
+            assert ranges[i][1] <= ranges[i + 1][0], ranges
+        # and the read-back is complete
+        assert spark.read.parquet(path).count() == li.count()
+
+    def test_compact_partitions(self, spark, tmp_path):
+        from etl_finance_spark.sources.sinks import compact_partitions
+
+        path = str(tmp_path / "frag")
+        nation = table(spark, SF_CORRECT, "nation")
+        nation.repartition(8).write.parquet(path)
+        want = {tuple(r) for r in nation.collect()}
+        before = compact_partitions(spark, path, target_files=2)
+        assert before == 8
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == 2
+        got = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert got == want
+
+    def test_merge_schema_evolution(self, spark, tmp_path):
+        """Appends with a widened schema read back as one frame under
+        mergeSchema, old rows null-filled for the new column — the
+        reader-side contract q_union_by_name provides query-side."""
+        path = str(tmp_path / "evolve")
+        v1 = spark.range(3).select(
+            F.col("id"), F.lit("a").alias("tag"))
+        v1.write.parquet(path)
+        v2 = spark.range(3, 5).select(
+            F.col("id"), F.lit("b").alias("tag"),
+            (F.col("id") * 10).alias("score"))
+        v2.write.mode("append").parquet(path)
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"id", "tag", "score"}
+        rows = {r.id: (r.tag, r.score) for r in merged.collect()}
+        assert rows[0] == ("a", None) and rows[4] == ("b", 40)
