@@ -385,3 +385,14 @@ def test_python_datasource_plans_batch_scan(spark):
     plan = _simple(spark, "q_python_datasource")
     assert "BatchScan synthtick" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must collapse the configured 8 shuffle partitions down to
+    the few the data actually needs (session.py enables adaptive +
+    coalescePartitions) — asserted on the EXECUTED plan, which is the
+    only place runtime re-planning is visible."""
+    df = SPECS["q_agg_groupby"].fn(spark, SF_CORRECT)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
