@@ -56,7 +56,8 @@ def q_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     '$.pricing.total', '$.pricing.buckets[1]' — proving the variant
     encoding round-trips strings, doubles, and array elements exactly.
     Map-side only (filter + projection, no shuffle); the filter and
-    the two scanned columns push down to the parquet scan."""
+    the three-column projection push down to the parquet scan
+    (plan-asserted in tests/test_plans.py)."""
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 7 == 0
     )
