@@ -65,3 +65,17 @@ def read_binary_files(spark: SparkSession, path: str,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: StructType | None = None) -> DataFrame:
+    """XML source (built into Spark 4 core — the old spark-xml
+    package): one row per `row_tag` element. Same explicit-schema
+    guidance as CSV/JSON; inference on XML additionally pays a full
+    parse pass. The legacy-feed format in finance ETL (regulatory
+    filings, FIXML-ish exports) — the reference never got to it, its
+    requirements.txt stops at JSON APIs."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -271,3 +271,40 @@ class TestLakeLayout:
         assert set(merged.columns) == {"id", "tag", "score"}
         rows = {r.id: (r.tag, r.score) for r in merged.collect()}
         assert rows[0] == ("a", None) and rows[4] == ("b", 40)
+
+
+class TestXml:
+    def test_round_trip_and_from_xml(self, spark, tmp_path):
+        """XML landed in Spark 4 core: write nation as XML, read back
+        by rowTag with an explicit schema — values survive. The scalar
+        twin from_xml parses embedded XML strings column-side (the
+        from_json analog for XML payload columns)."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from etl_finance_spark.sources.readers import read_xml
+
+        nation = table(spark, SF_CORRECT, "nation").select(
+            "n_nationkey", "n_name")
+        path = str(tmp_path / "nation_xml")
+        nation.write.format("xml").option("rowTag", "nation").save(path)
+        schema = StructType([
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+        ])
+        back = read_xml(spark, path, "nation", schema)
+        assert {(r.n_nationkey, r.n_name) for r in back.collect()} == {
+            (r.n_nationkey, r.n_name) for r in nation.collect()}
+        # scalar parse of an XML payload column
+        payload = nation.select(
+            F.concat(
+                F.lit("<r><k>"), F.col("n_nationkey"),
+                F.lit("</k><v>"), F.col("n_name"), F.lit("</v></r>"),
+            ).alias("xml")
+        )
+        parsed = payload.select(
+            F.from_xml("xml", "k BIGINT, v STRING").alias("p")
+        ).select(F.col("p.k").alias("k"), F.col("p.v").alias("v"))
+        assert {(r.k, r.v) for r in parsed.collect()} == {
+            (r.n_nationkey, r.n_name) for r in nation.collect()}
