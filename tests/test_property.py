@@ -138,3 +138,61 @@ def test_upsert_idempotent_and_key_unique(incoming_rows, target_rows):
     assert not (set(fresh_keys) & target_keys)
     # union covers exactly the incoming-minus-target key set
     assert set(fresh_keys) == {k for k, _ in incoming_rows} - target_keys
+
+
+ids_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=200)),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ids_strategy)
+def test_bitmap_distinct_equals_exact(pairs):
+    """Bitmap bucket/position/construct/count must equal the exact
+    distinct count for ARBITRARY grouped key sets — including ids that
+    straddle bucket boundaries and groups with one element."""
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        pairs, StructType([StructField("g", StringType()),
+                           StructField("k", LongType())]))
+    got = {
+        r.g: r.nd
+        for r in (
+            df.groupBy("g", F.bitmap_bucket_number("k").alias("bkt"))
+            .agg(F.bitmap_construct_agg(
+                F.bitmap_bit_position("k")).alias("bm"))
+            .groupBy("g")
+            .agg(F.sum(F.bitmap_count("bm")).alias("nd"))
+            .collect()
+        )
+    }
+    want = {}
+    for g, k in pairs:
+        want.setdefault(g, set()).add(k)
+    assert got == {g: len(s) for g, s in want.items()}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ids_strategy)
+def test_mode_deterministic_under_repartition(pairs):
+    """The max-of-struct mode (q_mode_by_group's shape) must return
+    the identical winner whatever the physical partitioning — the
+    property the built-in mode() does NOT guarantee on ties."""
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        pairs, StructType([StructField("g", StringType()),
+                           StructField("k", LongType())]))
+
+    def run(frame):
+        counts = frame.groupBy("g", "k").agg(F.count("*").alias("n"))
+        return {
+            r.g: (r.top.n, r.top.k)
+            for r in counts.groupBy("g")
+            .agg(F.max(F.struct("n", "k")).alias("top")).collect()
+        }
+
+    assert run(df) == run(df.repartition(7))
