@@ -336,3 +336,135 @@ def test_foreach_batch_upsert_reraises_non_missing_errors(spark, tmp_path):
     sink2 = foreach_batch_upsert(fresh_target, ["event_id"])
     sink2(batch, 0)
     assert spark.read.parquet(fresh_target).count() == 1
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class TestCogroupAsof:
+    def test_cogroup_matches_relational_asof(self, spark):
+        """Third independent implementation of the as-of semantics:
+        cogrouped applyInPandas (orders ⋈ lineitem per orderkey, first
+        shipment at-or-after order date computed in pandas) must equal
+        the declared relational plan (equi-join + temporal filter +
+        min aggregate, q_join_asof) — which the DuckDB oracle already
+        checks. Covers the cogroup API surface the other pandas paths
+        (grouped apply, mapInPandas, withState) don't touch."""
+        import pandas as pd
+
+        from etl_finance_spark import registry
+        from etl_finance_spark.catalog import table
+
+        sf = SF_SMOKE
+        orders = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderdate")
+        li = table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_shipdate")
+
+        def first_ship(left: pd.DataFrame,
+                       right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(
+                    columns=["o_orderkey", "first_ship_date"])
+            cut = left["o_orderdate"].iloc[0]
+            ok = right.loc[right["l_shipdate"] >= cut, "l_shipdate"]
+            return pd.DataFrame({
+                "o_orderkey": left["o_orderkey"].iloc[:1],
+                "first_ship_date":
+                    [ok.min() if len(ok) else pd.NaT],
+            })
+
+        via_cogroup = (
+            orders.groupBy("o_orderkey")
+            .cogroup(li.groupBy("l_orderkey"))
+            .applyInPandas(
+                first_ship,
+                "o_orderkey long, first_ship_date timestamp")
+            .select("o_orderkey",
+                    F.col("first_ship_date").cast("date")
+                    .alias("first_ship_date"))
+        )
+        declared = registry.collect()["q_join_asof"].fn(spark, sf)
+        got = {(r.o_orderkey, r.first_ship_date)
+               for r in via_cogroup.collect()}
+        want = {(r.o_orderkey, r.first_ship_date)
+                for r in declared.collect()}
+        assert got == want
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas needs protobuf (its state-server "
+    "protocol: pyspark.sql.streaming.proto); not shipped in this "
+    "container — applyInPandasWithState above is the covered "
+    "stateful rung. This test activates wherever protobuf exists."))
+class TestTransformWithState:
+    def test_running_totals_carry_state(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+        )
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from etl_finance_spark.sources.pysource import (
+            register_tick_source,
+        )
+
+        class RunningQty(StatefulProcessor):
+            def init(self, handle):
+                self.state = handle.getValueState(
+                    "tot",
+                    StructType([StructField("total", LongType())]))
+
+            def handleInputRows(self, key, rows, timerValues):
+                total = (self.state.get()[0]
+                         if self.state.exists() else 0)
+                for pdf in rows:
+                    total += int(pdf["qty"].sum())
+                self.state.update((total,))
+                yield pd.DataFrame(
+                    {"symbol": [key[0]], "total": [total]})
+
+            def close(self):
+                pass
+
+        register_tick_source(spark)
+        stream = (
+            spark.readStream.format("synthtick")
+            .option("n", "2000").option("batch_rows", "500").load()
+        )
+        out = stream.groupBy("symbol").transformWithStateInPandas(
+            RunningQty(),
+            outputStructType=StructType([
+                StructField("symbol", StringType()),
+                StructField("total", LongType()),
+            ]),
+            outputMode="Update", timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("tws_test")
+            .option("checkpointLocation", str(tmp_path / "ck")).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = {
+            r.symbol: r.t
+            for r in spark.sql(
+                "SELECT symbol, max(total) AS t FROM tws_test"
+                " GROUP BY symbol").collect()
+        }
+        batch = {
+            r.symbol: r.t
+            for r in spark.read.format("synthtick").option("n", "2000")
+            .load().groupBy("symbol")
+            .agg(F.sum("qty").alias("t")).collect()
+        }
+        assert last == batch
