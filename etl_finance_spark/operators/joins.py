@@ -3,8 +3,11 @@
 Physical-plan posture per join, since joins are where 100 TB plans live
 or die:
 
-- dims (region/nation/part/customer at their real-world sizes) are
-  *broadcast* — no shuffle of the fact side;
+- only FIXED-cardinality dims (region 5, nation 25, 1-row/k-row
+  aggregates) ever carry a forced broadcast hint; sf-proportional
+  sides (customer/supplier/part slices, fact-derived aggregates) join
+  plain and AQE broadcasts them only while their measured size allows
+  (VERDICT r3: a static hint there is a broadcast-OOM class at 100 TB);
 - fact-fact joins shuffle on the join key; AQE handles skew
   (session.py enables skewJoin) — at warehouse scale the same keys
   would be bucketed so the shuffle disappears;
@@ -50,7 +53,10 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-JOIN-2: same semantics as inner, physical broadcast hint — the
-    dim ships to every executor, the fact never shuffles."""
+    dim ships to every executor, the fact never shuffles. This query IS
+    the hint operator (the user asked for a forced broadcast), so the
+    hint stays by definition; production plans in this repo reserve it
+    for bounded builds (module header)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
     return (
@@ -165,9 +171,12 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (SURVEY.md §5): selective dim filter → two joins →
-    agg → top-k. The plan to want at 100 TB: customer filter broadcasts,
-    orders⋈lineitem shuffles on orderkey (or stays local if both are
-    bucketed on it), top-k never global-sorts."""
+    agg → top-k. The plan to want at 100 TB: the segment-filtered
+    customer side is still ~1/5 of an sf-proportional table, so it
+    carries NO forced broadcast hint (VERDICT r3) — AQE broadcasts it
+    only while its measured size allows; orders⋈lineitem shuffles on
+    orderkey (or stays local if both are bucketed on it), top-k never
+    global-sorts."""
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
     cust = (
         table(spark, sf_dir, "customer")
@@ -185,7 +194,7 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(

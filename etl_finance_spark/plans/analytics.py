@@ -119,9 +119,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join through the region→nation→customer
-    chain with the local-supplier predicate. The three dims broadcast;
-    only orders⋈lineitem shuffles (on orderkey) — the plan Catalyst's
-    join reordering should find, pinned here explicitly."""
+    chain with the local-supplier predicate. Only the FIXED-cardinality
+    dims (region 5 rows, nation 25) carry a broadcast hint; customer and
+    supplier are sf-proportional, so their joins are plain equi-joins and
+    AQE picks broadcast-vs-shuffle from measured sizes (VERDICT r3: a
+    forced hint there is a broadcast-OOM class at 100 TB). orders⋈lineitem
+    shuffles on orderkey."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
     customer = table(spark, sf_dir, "customer")
@@ -135,10 +138,10 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "n_nationkey")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (supplier.s_suppkey == lineitem.l_suppkey)
             & (supplier.s_nationkey == F.col("n_nationkey")),
         )
@@ -164,8 +167,10 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: semi-join against an aggregated subquery (orders
-    whose total quantity exceeds a threshold). The agg output is small →
-    broadcast semi-join; the fact scans once."""
+    whose total quantity exceeds a threshold). The agg output is a
+    data-dependent fraction of the FACT, so it carries no broadcast hint
+    (VERDICT r3); AQE broadcasts the semi side only when its measured
+    size allows. The fact scans once either way."""
     orders = table(spark, sf_dir, "orders")
     big = (
         table(spark, sf_dir, "lineitem")
@@ -176,7 +181,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+            big, orders.o_orderkey == big.l_orderkey, "left_semi"
         )
         .select(
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")

@@ -77,14 +77,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in >= 2 orders), PR_ITERS fixed power iterations with
     0.85 damping. Each pass is one equi-join on src + one groupBy on
     dst — the same linear-shuffle shape as connected_components. The
-    edge list, the loop-INVARIANT frames (teleport base = nodes x 1/n,
-    degree), and each pass's ranks all localCheckpoint (lineage cut;
-    reliable checkpoint() on a cluster). Materializing the invariants
-    once matters as much as cutting the loop lineage: left lazy, the
-    node-set distinct and the degree groupBy re-execute inside every
-    one of the PR_ITERS passes. Nothing ever collects to the driver.
-    The graph is symmetric so no dangling-mass term is needed (every
-    node has out-degree >= 1)."""
+    edge list, the loop-INVARIANT teleport base (nodes x 1/n), and each
+    pass's ranks all localCheckpoint (lineage cut; reliable checkpoint()
+    on a cluster). Materializing the invariants once matters as much as
+    cutting the loop lineage: left lazy, the node-set distinct would
+    re-execute inside every one of the PR_ITERS passes. 1/out-degree is
+    folded into the edge weight ONCE at build time (a window over src —
+    the same shuffle key the per-pass join uses), so no per-pass degree
+    join and no broadcast of the node-cardinality degree table (VERDICT
+    r3: that broadcast grows with |nodes| — an OOM class at 100 TB).
+    Nothing ever collects to the driver. The graph is symmetric so no
+    dangling-mass term is needed (every node has out-degree >= 1)."""
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -102,11 +105,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    # fold 1/out-degree into the edge weight at build time: one window
+    # over src (already the per-pass join key, so the shuffle is shared)
+    # replaces a per-pass degree join + degree-table broadcast
+    sym = sym.withColumn(
+        "w",
+        F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
     ).localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("double").alias("deg")
-    ).localCheckpoint()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     # teleport base: every node with (1 - d)/n already applied — the
     # per-pass left join adds only the damped neighbor mass
@@ -116,13 +123,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((1 - PR_DAMP) / F.col("n")).alias("teleport"),
     ).localCheckpoint()
     pr = base.select("node", F.col("pr0").alias("pr"))
-    deg_src = F.broadcast(deg.withColumnRenamed("node", "src"))
     for _ in range(PR_ITERS):
         contrib = (
             sym.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg_src, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
         )
         pr = (
             base.join(contrib, "node", "left")
@@ -160,7 +165,9 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the tiny aggregate (|segments| x |years| rows), never the
     fact. Revenue rounds to 2dp BEFORE the ratio so both engines lag
     the identical value (SURVEY §7.3 item 4). First year per segment
-    is NULL growth on both sides."""
+    is NULL growth on both sides. The orders⋈customer join carries NO
+    broadcast hint: customer is sf-proportional (VERDICT r3), so the
+    choice is left to AQE's measured sizes at whatever scale runs."""
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice", F.year("o_orderdate").cast("long").alias("yr")
     )
@@ -168,7 +175,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
     r = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("seg", "yr")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )

@@ -6,8 +6,10 @@ shape each query exercises is the point, and is preserved).
 
 Round-2 block (plans/analytics.py) covered Q3/Q5/Q7/Q10/Q18; this one
 adds Q4, Q6, Q8, Q12, Q13, Q14, Q15, Q19, Q21, Q22. Every query names
-the plan it wants at 100 TB in its docstring: dims broadcast, facts
-shuffle at most once on their join key, aggregates partial map-side.
+the plan it wants at 100 TB in its docstring: fixed-cardinality dims
+broadcast (sf-proportional sides never carry a forced hint — AQE
+decides those), facts shuffle at most once on their join key,
+aggregates partial map-side.
 
 Reference provenance: the reference's single analytic shape is the
 grouped mean (etl.py:377-386); this block is engine surface the
@@ -124,10 +126,12 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: eight-table star with a conditional-share
-    aggregate. All five dims (region, nation x2, supplier, part,
-    customer at these cardinalities) broadcast; orders joins lineitem on
-    orderkey — the only fact-fact shuffle. The share is a single grouped
-    pass (CASE inside sum), not two aggregations joined."""
+    aggregate. Only the fixed-cardinality dims (region, nation x2)
+    carry broadcast hints; customer, supplier and part are
+    sf-proportional so their joins stay plain and AQE decides from
+    measured sizes (VERDICT r3). orders joins lineitem on orderkey —
+    the only fact-fact shuffle. The share is a single grouped pass
+    (CASE inside sum), not two aggregations joined."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
@@ -157,10 +161,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
     )
     flat = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
-        .join(orders.join(F.broadcast(cdim),
-                          orders.o_custkey == cdim.c_custkey),
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .join(orders.join(cdim, orders.o_custkey == cdim.c_custkey),
               li.l_orderkey == orders.o_orderkey)
     )
     share = F.sum(
@@ -253,9 +256,11 @@ def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional-share aggregate over a broadcast dim join;
-    the month filter pushes to the lineitem scan, part broadcasts, and
-    the whole query is one fused pipeline plus a 1-row final agg."""
+    """TPC-H Q14: conditional-share aggregate over a dim join; the month
+    filter pushes to the lineitem scan and the whole query is one fused
+    pipeline plus a 1-row final agg. Part is sf-proportional, so no
+    forced broadcast hint — AQE broadcasts it while it measures small
+    (VERDICT r3 rule)."""
     lo = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
     li = (
@@ -270,7 +275,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(0.0)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.try_divide(F.lit(100.0) * promo, F.sum("volume")), 6
@@ -301,7 +306,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on suppkey; its 1-row max broadcasts back (no global sort,
     no window over the whole agg). Ranking by the ROUNDED revenue keeps
     the selected row set identical across engines (SURVEY §7.3 item 4);
-    supplier names attach to the (tiny) winners only."""
+    supplier names attach to the (tiny) winners via a plain equi-join —
+    supplier is sf-proportional so it carries no forced hint; AQE
+    broadcasts whichever side measures small (VERDICT r3 rule)."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     rev = (
@@ -318,7 +325,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(best), rev.total_revenue == best.mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -338,10 +345,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive mixed-table predicates. The join stays a
-    single broadcast hash join with the OR block as a post-join filter
-    (Catalyst can't split it into per-branch pushdowns without a union
-    rewrite); what CAN push down — nothing table-local survives the OR
-    here except the implicit not-null — stays pushed."""
+    single hash join with the OR block as a post-join filter (Catalyst
+    can't split it into per-branch pushdowns without a union rewrite);
+    what CAN push down — nothing table-local survives the OR here
+    except the implicit not-null — stays pushed. Part carries no forced
+    broadcast hint (sf-proportional; AQE decides — VERDICT r3 rule)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
@@ -357,7 +365,7 @@ def q_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
            & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
     )
@@ -395,7 +403,8 @@ def q_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates: one groupBy computes (max ship, distinct suppliers), a
     join-back finds latest lines, a HAVING count(*)=1 is the NOT EXISTS
     "no one else shipped that day". Everything keys on orderkey — one
-    shuffle family — and the supplier dim broadcasts at the end."""
+    shuffle family — and the final supplier join is plain equi (the
+    supplier dim is sf-proportional: no forced hint, AQE decides)."""
     orders = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -427,7 +436,7 @@ def q_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -102,16 +102,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each part, the cheapest regional supplier — then join back for
     supplier/nation/part attributes. The min is a min-of-struct
     aggregate keyed by (rounded cost, suppkey), not a window: partials
-    collapse map-side and the tiebreak stays deterministic. Dims
-    (supplier, nation, region, filtered part) all broadcast; the only
-    fact shuffle is the (partkey, suppkey) cost rollup. Cost rounds
-    6dp BEFORE the argmin so both engines pick the same supplier."""
+    collapse map-side and the tiebreak stays deterministic. The
+    region-scoped supplier frame and the size-filtered part are both
+    sf-proportional, so neither carries a forced broadcast hint — AQE
+    broadcasts them while they measure small (VERDICT r3 rule). The
+    only fact shuffle is the (partkey, suppkey) cost rollup. Cost
+    rounds 6dp BEFORE the argmin so both engines pick the same
+    supplier."""
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
-    regional = F.broadcast(
-        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
-        .join(reg, nat.n_regionkey == reg.r_regionkey)
+    regional = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     li = table(spark, sf_dir, "lineitem").select(
@@ -135,7 +138,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.unit_cost").alias("unit_cost"),
         )
     )
-    part = F.broadcast(
+    part = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 11)
         .select("p_partkey", "p_type")
@@ -167,22 +170,21 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (supply cost re-cut as 10% of retail price):
     profit on a part-name-filtered slice, rolled up by supplier nation
-    x order year. Part (pre-filtered by the LIKE — prunes ~2000 rows
-    smaller still), supplier and nation broadcast; lineitem shuffles
-    once on orderkey to meet orders (the one fact-fact join). Profit
-    partial-aggregates map-side into |nations| x |years| cells."""
+    x order year. Only nation (25 rows, fixed) carries a broadcast
+    hint; the LIKE-filtered part and supplier are sf-proportional, so
+    their joins stay plain and AQE decides (VERDICT r3 rule). lineitem
+    shuffles once on orderkey to meet orders (the one fact-fact join).
+    Profit partial-aggregates map-side into |nations| x |years| cells."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_discount", "l_quantity",
     )
-    part = F.broadcast(
+    part = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%re%"))
         .select("p_partkey", "p_retailprice")
     )
-    sup = F.broadcast(
-        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = F.broadcast(
         table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     )
@@ -226,14 +228,16 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the SAME aggregate's grand total — the scalar-subquery-
     in-HAVING pattern. The grand total is a 1-row broadcast cross join
     over the per-part rollup, so the fact aggregates once and the
-    threshold never forces a second scan. The UNROUNDED value feeds
-    both the threshold and the comparison (matching the oracle exactly);
-    rounding happens only at projection."""
+    threshold never forces a second scan. The nation-scoped supplier
+    frame is sf-proportional — no forced hint on that join (VERDICT r3
+    rule). The UNROUNDED value feeds both the threshold and the
+    comparison (matching the oracle exactly); rounding happens only at
+    projection."""
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    nat_sup = F.broadcast(
-        sup.join(nat, sup.s_nationkey == nat.n_nationkey).select("s_suppkey")
-    )
+    nat_sup = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -273,9 +277,10 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (partsupp re-cut as distinct lineitem
     part-supplier pairs; "complaint" suppliers re-cut as negative
     account balance): per-(brand, type, size) distinct-supplier counts
-    with a NOT-IN exclusion — a broadcast anti join, which handles the
-    blocklist without materializing a NOT-IN hash per row. Part is
-    pre-filtered and broadcast; the fact's only shuffle is the
+    with a NOT-IN exclusion expressed as a left-anti join. The
+    blocklist and the filtered part are both sf-proportional slices,
+    so neither carries a forced broadcast hint (VERDICT r3 rule — AQE
+    broadcasts them while small). The fact's only shuffle is the
     (partkey, suppkey) distinct, which doubles as the count-distinct's
     first phase."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -283,7 +288,7 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    part = F.broadcast(
+    part = (
         table(spark, sf_dir, "part")
         .filter(
             (F.col("p_brand") != "Brand#1")
@@ -293,7 +298,7 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
@@ -320,14 +325,15 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as aggregate-then-join-back so the fact is scanned twice
     but shuffled on partkey only once each). The per-part cut rounds
     6dp before the comparison so the boundary is bit-identical across
-    engines. Brand filter broadcasts; final sum is a 1-row reduce."""
+    engines. The brand-filtered part is an sf-proportional slice — no
+    forced hint (AQE decides); final sum is a 1-row reduce."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     cuts = li.groupBy("l_partkey").agg(
         F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cut")
     )
-    part = F.broadcast(
+    part = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
@@ -374,11 +380,13 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (availqty re-cut as a supplier's total shipped
     quantity; the threshold is half the part's 1996 demand): the nested
     semi-join chain — suppliers IN (pairs over parts IN (name filter)).
-    Both IN-subqueries become left-semi joins: the part-name filter
-    broadcasts into the supplied rollup, the qualifying supplier ids
-    broadcast into the supplier dim. Quantities round 2dp on both
-    sides of the threshold so the comparison is engine-stable. The
-    fact shuffles once per rollup on its group key, nothing else."""
+    Both IN-subqueries become left-semi joins; the name-filtered part
+    and the fact-derived qualifying supplier ids are sf-proportional,
+    so neither carries a forced broadcast hint (VERDICT r3 rule — AQE
+    broadcasts the semi sides while they measure small). Quantities
+    round 2dp on both sides of the threshold so the comparison is
+    engine-stable. The fact shuffles once per rollup on its group key,
+    nothing else."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
@@ -389,7 +397,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(0.5 * F.sum("l_quantity"), 2).alias("half_demand"))
     )
-    red_parts = F.broadcast(
+    red_parts = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
         .select("p_partkey")
@@ -411,7 +419,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sup.join(nat, sup.s_nationkey == nat.n_nationkey)
         .join(
-            F.broadcast(qualifying),
+            qualifying,
             sup.s_suppkey == qualifying.l_suppkey,
             "left_semi",
         )

@@ -260,11 +260,18 @@ def test_pricing_summary_single_codegen_scan(spark):
 
 
 def test_min_cost_supplier_broadcasts_dims(spark):
-    """Q2 shape: every dim side broadcast; the only sort-merge-scale
-    exchange is the (partkey, suppkey) cost rollup."""
-    plan = _simple(spark, "q_min_cost_supplier")
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+    """Q2 shape: supplier/part are sf-proportional so they carry no
+    forced hint (VERDICT r3); the broadcast decision moves to AQE. At
+    this tiny SF the FINAL runtime plan must leave no sort-merge join
+    standing: every join either becomes a measured-size broadcast or
+    collapses outright (the empty p_size slice propagates
+    EmptyRelation), both of which are the adaptive outcome wanted."""
+    df = SPECS["q_min_cost_supplier"].fn(spark, SF_CORRECT)
+    df.collect()  # AQE finalizes join strategies only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final or "EmptyRelation" in final
 
 
 def test_supplier_cnt_anti_join_broadcasts(spark):
@@ -396,3 +403,78 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()  # AQE finalizes the plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast discipline (VERDICT r3): a static F.broadcast() hint is
+# only allowed on BOUNDED builds — fixed-cardinality dims (region 5 rows,
+# nation 25) or global (no-grouping) aggregates, whose size is independent
+# of data scale. sf-proportional sides (customer/supplier/part slices,
+# fact-derived keyed aggregates, per-node degree tables) must join plain so
+# AQE picks broadcast-vs-shuffle from measured sizes at whatever scale runs.
+
+_HINT_SWEPT_QUERIES = (
+    # the six sites VERDICT r3 flagged
+    "q_yoy_growth", "q_regional_revenue", "q_market_share",
+    "q_revenue_topk", "q_large_orders", "q_pagerank",
+    # same defect class, swept in the same pass (tpch2/tpch3 dims)
+    "q_top_supplier", "q_suppliers_waiting", "q_promo_revenue",
+    "q_disjunctive_rev", "q_min_cost_supplier", "q_product_profit",
+    "q_important_stock", "q_supplier_cnt", "q_small_qty_revenue",
+    "q_excess_suppliers",
+)
+
+
+def _lp_children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _lp_walk(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_lp_children(n))
+
+
+def _broadcast_hinted_sides(df):
+    """Yield the logical subtree under every side a broadcast HINT pins
+    (optimizer folds ResolvedHint into Join.hint — stats/AQE-chosen
+    broadcasts never appear here, which is exactly the distinction)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _lp_walk(plan):
+        if node.nodeName() != "Join":
+            continue
+        hint = node.hint().toString()
+        kids = _lp_children(node)
+        if "leftHint=(strategy=broadcast" in hint:
+            yield kids[0]
+        if "rightHint=(strategy=broadcast" in hint:
+            yield kids[1]
+
+
+def _is_bounded_build(subtree):
+    """Bounded := a global (no-grouping => <=1 row) aggregate on the
+    spine, or every leaf a fixed-cardinality dim (region/nation)."""
+    for n in _lp_walk(subtree):
+        if n.nodeName() == "Aggregate" and n.groupingExpressions().isEmpty():
+            return True
+    for n in _lp_walk(subtree):
+        if _lp_children(n):
+            continue
+        out = n.output()
+        names = [out.apply(i).name() for i in range(out.size())]
+        if names and not all(c.startswith(("r_", "n_")) for c in names):
+            return False
+    return True
+
+
+def test_no_forced_broadcast_on_unbounded_sides(spark):
+    for name in _HINT_SWEPT_QUERIES:
+        df = SPECS[name].fn(spark, SF_CORRECT)
+        for side in _broadcast_hinted_sides(df):
+            assert _is_bounded_build(side), (
+                f"{name}: broadcast hint pins an sf-proportional build:\n"
+                f"{side.toString()}"
+            )
