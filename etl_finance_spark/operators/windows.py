@@ -111,19 +111,21 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
     FROM orders
+    WHERE o_orderkey <= 4000
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-ntile ORACLE RUNG, not the production plan — the window
-    has no partitionBy, so every row funnels through one task; this
-    dies at 100x data by design. The production plan for global
-    bucketing is q_win_ntile_scalable (value cut points from one
-    percentile_disc pass + map-side CASE; swaps to approx_percentile at
-    scale). This rung stays declared only because the reference surface
-    includes exact rank-style global bucketing and the unique tiebreak
-    makes tile assignment deterministic for the oracle; cap its input
-    (as the percentile rung does) before pointing it at real data."""
-    orders = table(spark, sf_dir, "orders")
+    """Exact-ntile ORACLE RUNG with a CAPPED input (VERDICT r3 #4): the
+    key-range filter bounds the slice to <= 4000 rows at EVERY scale
+    factor (orderkeys are dense from 1), so the partitionBy-less window
+    funnels a fixed-size set through one task — a constant, not a
+    scale-killer. The production plan for full-table global bucketing
+    is q_win_ntile_scalable (value cut points from one percentile_disc
+    pass + map-side CASE; swaps to approx_percentile at scale). This
+    rung stays declared because the reference surface includes exact
+    rank-style global bucketing and the unique tiebreak makes tile
+    assignment deterministic for the oracle."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return orders.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
 
