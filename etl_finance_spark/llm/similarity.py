@@ -261,54 +261,95 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _cell_scores(cents: Column, vec: Column) -> Column:
+    """array<struct<d2, cell>> — one entry per centroid, computed
+    entirely map-side from the packed model (no join key, no shuffle).
+    Struct comparison is lexicographic (d2 then cell), so array_min /
+    array_sort over this keeps the deterministic tiebreak the round-3
+    min-struct aggregate used."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            _l2sq(vec, c.getField("cvec")).alias("d2"),
+            c.getField("cell").alias("cell"),
+        ),
+    )
+
+
 def ivf_centroids(vectors: DataFrame) -> DataFrame:
-    """Deterministic k-means coarse quantizer, all DataFrame ops.
+    """Deterministic k-means coarse quantizer, all DataFrame ops,
+    returning the model PACKED into ONE row:
+    cents = array<struct<cell:int, cvec:array<double>>>.
 
     Seeds = the N_CELLS lowest-vec_id vectors (no rand() — retries and
     re-plans reproduce the same model), then LLOYD_ITERS assign/average
-    passes. The per-dimension mean is computed by posexplode →
-    groupBy(cell, pos) → re-assemble sorted, which is one shuffle per
-    iteration keyed by (cell, pos) — at 100 TB both passes stay fully
-    distributed and the model itself never exceeds N_CELLS rows."""
-    w = Window.orderBy("vec_id")
-    cent = (
+    passes. Packing is the scale move (round-4): with the model as a
+    single array row, nearest-cell assignment is an array_min over a
+    row-local expression — the corpus NEVER shuffles, neither in the
+    Lloyd passes here nor in downstream routing (the round-3 shape ran
+    every assignment through a corpus-cardinality groupBy(vec_id)
+    exchange). The only shuffles left are the per-dimension mean
+    rollups, keyed (cell, pos): fully distributed, never more than
+    N_CELLS x dim rows out."""
+    seeds = (
         vectors.orderBy("vec_id").limit(N_CELLS)
-        .select(F.row_number().over(w).alias("cell"), F.col("vec").alias("cvec"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vec"))).alias("s"))
+        .select(
+            F.transform(
+                "s",
+                lambda x, i: F.struct(
+                    (i + 1).alias("cell"), x.getField("vec").alias("cvec")
+                ),
+            ).alias("cents")
+        )
     )
+    cent = seeds
     it = 0
     for _ in range(LLOYD_ITERS):
-        # nearest cell as a min-of-struct aggregate, not a row_number
-        # window: the 16 candidate rows per vector live in the SAME
-        # partition (the broadcast cross join never moves the big side),
-        # so the partial agg collapses them map-side — zero shuffle and
-        # no per-key sort. Struct comparison is lexicographic (d2 then
-        # cell), the same deterministic tiebreak the window used.
         assigned = (
             vectors.select("vec_id", "vec")
             .crossJoin(F.broadcast(cent))
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _l2sq(F.col("vec"), F.col("cvec")).alias("d2"),
-                        F.col("cell").alias("cell"),
-                        F.col("vec").alias("vec"),
-                    )
-                ).alias("best")
+            .select(
+                F.array_min(
+                    _cell_scores(F.col("cents"), F.col("vec"))
+                ).getField("cell").alias("cell"),
+                "vec",
             )
-            .select("vec_id", F.col("best.cell").alias("cell"),
-                    F.col("best.vec").alias("vec"))
         )
-        cent = (
+        # per-dimension means keyed (cell, pos) — the one genuinely
+        # distributed rollup; its output is <= N_CELLS x dim rows
+        dim_means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
             .groupBy("cell", "pos")
             .agg(F.avg("e").alias("m"))
-            .groupBy("cell")
-            .agg(
+        )
+        # re-pack map-side of a single global aggregate: empty cells
+        # drop out (same as the round-3 groupBy(cell)), per-cell vecs
+        # re-assemble in pos order via the lexicographic struct sort
+        cent = (
+            dim_means.groupBy()
+            .agg(F.collect_list(F.struct("cell", "pos", "m")).alias("flat"))
+            .select(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cvec")
+                    F.array_sort(
+                        F.array_distinct(
+                            F.transform("flat", lambda x: x.getField("cell"))
+                        )
+                    ),
+                    lambda c: F.struct(
+                        c.alias("cell"),
+                        F.transform(
+                            F.array_sort(
+                                F.filter(
+                                    F.col("flat"),
+                                    lambda x: x.getField("cell") == c,
+                                )
+                            ),
+                            lambda x: x.getField("m"),
+                        ).alias("cvec"),
+                    ),
+                ).alias("cents")
             )
         )
         # checkpoint cadence: every CHECKPOINT_EVERY passes plus the
@@ -317,7 +358,7 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
         # on job barriers than it saved in lineage (round-3 A/B), while
         # NEVER checkpointing regrows the plan exponentially with the
         # iteration count (round-2 finding). The downstream consumers
-        # (corpus + query routing) always see a checkpointed 16-row
+        # (corpus + query routing) always see a checkpointed 1-row
         # model, so they never replay k-means lineage.
         it += 1
         if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
@@ -327,30 +368,28 @@ def ivf_centroids(vectors: DataFrame) -> DataFrame:
 
 def ivf_assign(vectors: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cell) for the nprobe nearest cells — the IVF routing
-    step: a cross join against the tiny broadcast model, never against
-    the corpus. nprobe=1 (the corpus-indexing pass, i.e. the BIG side)
-    takes the shuffle-free min-struct aggregate; nprobe>1 (the query
-    side, orders of magnitude smaller) keeps the row_number window."""
+    step, now a PURE PROJECTION: the packed 1-row model broadcasts into
+    a cross join (the big side never moves) and the nearest cell(s)
+    fall out of array_min / array_sort + slice on a row-local score
+    array. Zero shuffles for both the corpus-indexing pass (nprobe=1)
+    and the query pass (nprobe>1); the round-3 shape pushed the whole
+    corpus through a groupBy(vec_id) exchange — at 100 TB that shuffle
+    WAS the routing cost."""
     scored = (
         vectors.select("vec_id", "vec")
         .crossJoin(F.broadcast(cent))
-        .withColumn("d2", _l2sq(F.col("vec"), F.col("cvec")))
+        .withColumn("scores", _cell_scores(F.col("cents"), F.col("vec")))
     )
     if nprobe == 1:
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cell")).alias("best"))
-            .select("vec_id", F.col("best.cell").alias("cell"))
+        return scored.select(
+            "vec_id", F.array_min("scores").getField("cell").alias("cell")
         )
     return (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cell")
-            ),
+        scored.select(
+            "vec_id",
+            F.explode(F.slice(F.array_sort("scores"), 1, nprobe)).alias("sc"),
         )
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "cell")
+        .select("vec_id", F.col("sc").getField("cell").alias("cell"))
     )
 
 
@@ -360,7 +399,9 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     reranks only those cells' members. Same shuffle hygiene as the LSH
     rung: the cell join carries ids, vectors re-attach for the rerank.
     At scale the cell id becomes the corpus PARTITION key, so a probe
-    touches nprobe/ncells of the data instead of all of it."""
+    touches nprobe/ncells of the data instead of all of it — and since
+    round-4 the routing itself is a zero-shuffle projection (packed
+    model), so indexing the corpus never exchanges it."""
     # The corpus feeds 2 + 2*LLOYD_ITERS consumers (seeding, every
     # Lloyd assign, corpus routing, rerank); without a persist each one
     # re-runs the scan + unit-vec projection (VERDICT.md round-2 item 7
@@ -487,8 +528,9 @@ def semantic_dedup(vectors: DataFrame, tau: float) -> DataFrame:
     "keep lowest id" survivor rule. The cell routing is what makes
     this a 100 TB design: the all-pairs cosine never happens; the
     quadratic term is bounded per cell, the pair join shuffles on the
-    cell key, and the corpus-side cell assignment is the shuffle-free
-    min-struct pass (ivf_assign nprobe=1). Trade-off vs exact near-dup
+    cell key, and the corpus-side cell assignment is a zero-shuffle
+    projection against the packed 1-row model (ivf_assign nprobe=1).
+    Trade-off vs exact near-dup
     (q_embed_neardup): a cross-cell near-duplicate pair is missed —
     that recall loss is measured, not hidden, in
     tests/test_llm.py::TestSemanticDedup."""
