@@ -16,6 +16,8 @@ operators/windows.py top-k).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,15 +67,17 @@ def _register_views(spark: SparkSession, sf_dir: str,
 
 _BFS_RECURSE_SQL = """
 WITH RECURSIVE bfs(pk, depth) AS (
-    SELECT pk, 0 AS depth FROM bfs_seed
+    SELECT pk, 0 AS depth FROM {seed}
   UNION ALL
     SELECT e.dst, b.depth + 1
-    FROM bfs b JOIN bfs_edges e ON e.src = b.pk
+    FROM bfs b JOIN {edges} e ON e.src = b.pk
     WHERE b.depth < 2
 )
 SELECT pk, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY pk
 """
+
+_BFS_SEQ = itertools.count()
 
 
 @register("q_recursive_bfs", oracle=_BFS_SQL)
@@ -93,7 +97,12 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB belongs to the delta-checked connected-components fixpoint
     (llm/clusters.py:84), which this query exists to contrast. The
     oracle runs the same logic as one self-contained SQL text (DuckDB
-    evaluates each CTE once, so it needs no materialization hint)."""
+    evaluates each CTE once, so it needs no materialization hint).
+    View hygiene (ADVICE r3): the temp views get per-call unique names
+    and are dropped as soon as spark.sql has (eagerly) resolved them —
+    concurrent callers on a shared session can't clobber each other,
+    and no session-global view pins the checkpointed edge blocks after
+    the result is released."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 10 == 0
     )
@@ -108,10 +117,15 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    edges.createOrReplaceTempView("bfs_edges")
+    k = next(_BFS_SEQ)
+    ev, sv = f"bfs_edges_{k}", f"bfs_seed_{k}"
+    edges.createOrReplaceTempView(ev)
     seed = li.agg(F.min("l_partkey").cast("long").alias("pk"))
-    seed.createOrReplaceTempView("bfs_seed")
-    return spark.sql(_BFS_RECURSE_SQL)
+    seed.createOrReplaceTempView(sv)
+    out = spark.sql(_BFS_RECURSE_SQL.format(edges=ev, seed=sv))
+    spark.catalog.dropTempView(ev)
+    spark.catalog.dropTempView(sv)
+    return out
 
 
 @register("q_lateral_topn", oracle=_LATERAL_SQL)
@@ -192,9 +206,14 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same names. Pivot values are listed explicitly ('F','O','P'):
     at 100 TB an unlisted pivot forces a distinct-values pre-query
     AND breaks reproducibility when a new status appears mid-pipeline;
-    listing them keeps the plan one pass and the schema stable."""
+    listing them keeps the plan one pass and the schema stable.
+    Empty-cell contract (ADVICE r3): Spark's pivot yields NULL for a
+    (priority, status) cell with no rows while the oracle's
+    count(CASE ...) yields 0, so the count columns coalesce to 0 here —
+    both engines then agree at every scale factor (sums stay NULL on
+    both sides for empty cells, which already matches)."""
     orders = table(spark, sf_dir, "orders")
-    return (
+    piv = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
@@ -202,3 +221,6 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+    for s in ("F", "O", "P"):
+        piv = piv.withColumn(f"{s}_n", F.coalesce(F.col(f"{s}_n"), F.lit(0)))
+    return piv

@@ -96,18 +96,36 @@ def compact_partitions(spark: SparkSession, path: str,
     the right data, just fragmented by streaming/incremental appends).
     Returns the file count before compaction. The operational fix for
     the classic lake failure mode where a million 1 MB files make
-    listing and task scheduling the bottleneck rather than IO."""
+    listing and task scheduling the bottleneck rather than IO.
+
+    Flat-directory-only by contract: pointing this at a hive-partitioned
+    root would re-read partition columns as data columns and flatten the
+    layout, so a directory with subdirectories is refused — compact each
+    leaf partition instead (ADVICE r3)."""
     import glob as _glob
     import os as _os
 
+    subdirs = [e.name for e in _os.scandir(path)
+               if e.is_dir() and not e.name.startswith(("_", "."))]
+    if subdirs:
+        raise ValueError(
+            f"compact_partitions expects a flat parquet directory; {path!r} "
+            f"contains subdirectories (e.g. {subdirs[0]!r}) — compact each "
+            "leaf partition instead"
+        )
     before = len(_glob.glob(_os.path.join(path, "*.parquet")))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (same filesystem)
+    # atomic-ish swap (same filesystem); if the second rename fails the
+    # original directory is restored, so readers never see `path` absent
     bak = path.rstrip("/") + "__old"
     _os.rename(path, bak)
-    _os.rename(tmp, path)
+    try:
+        _os.rename(tmp, path)
+    except BaseException:
+        _os.rename(bak, path)
+        raise
     import shutil as _shutil
     _shutil.rmtree(bak)
     return before

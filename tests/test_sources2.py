@@ -149,11 +149,13 @@ class TestTickStream:
             assert agg.qty == batch_qty
 
     def test_restart_recovers_offsets_exactly_once(self, spark):
-        """Stop after the first micro-batch (availableNow prefetches
-        exactly one simple-reader batch), then restart from the SAME
-        checkpoint: the committed offset must carry over — the second
-        run appends only rows 1000+, no duplicates, no gaps. This is
-        the recovery contract readBetweenOffsets exists for."""
+        """Stop after the first availableNow run (a strict prefix of
+        the stream — how many prefetch batches it packs per run is a
+        Spark implementation detail, so only 0 < n < total is pinned,
+        per ADVICE r3), then restart from the SAME checkpoint: the
+        committed offset must carry over — the second run appends only
+        the remaining rows, no duplicates, no gaps. This is the
+        recovery contract readBetweenOffsets exists for."""
         register_tick_source(spark)
 
         def stream():
@@ -174,9 +176,14 @@ class TestTickStream:
             first = (
                 spark.read.parquet(out)
                 .agg(F.count("*").alias("n"),
+                     F.count_distinct("tick_id").alias("d"),
                      F.max("tick_id").alias("hi")).collect()[0]
             )
-            assert (first.n, first.hi) == (1000, 999)
+            # a strict, gap-free, duplicate-free prefix — not pinned to
+            # one prefetch batch (batching granularity may change
+            # across Spark versions)
+            assert 0 < first.n < 2500
+            assert (first.d, first.hi) == (first.n, first.n - 1)
             q2 = (
                 stream().writeStream.format("parquet")
                 .option("path", out)
