@@ -70,88 +70,92 @@ _QUERY_MODULES = (
 # queries()/oracle_sql() iterate, so collect() re-orders its output:
 # the names below come first (in this order), everything else follows
 # in registration order. This replaces the round-1/2 module-rotation
-# trick with per-query control. Round-3 composition:
-#   1 flagship + 5 sentinels (one per previously-green family, plus the
-#   once-red q_bool_aggs so the historical fix stays driver-watched),
-#   then every query that has NO driver row yet (r01 ∪ r02 checked 90 of
-#   149), hardest-to-get-right families first. Names past ~position 50
-#   and the 14 deferred functions.families scalars rotate in next round.
+# trick with per-query control. Round-4 composition (exactly 50):
+#   1 flagship, the once-red q_bool_aggs (historical fix stays
+#   driver-watched), the three r03-green queries whose PLANS changed
+#   this round (broadcast-hint sweep: regional_revenue, revenue_topk,
+#   large_orders — fix-recheck doubles as family sentinel), then 44
+#   never-driver-checked queries: the twice-slipped raw-scan pair
+#   (top-10 this time, per VERDICT r3 #1), the thrice-deferred
+#   functions.families scalars (14), the TPC-H sweep (17 — includes
+#   the hint-swept market_share/top_supplier/...), the rebuilt
+#   q_yoy_growth + q_pagerank, sql_surface (4), VARIANT (2), the
+#   Python Data Source, and 3 corpus-assembly queries.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # sentinels: regression canaries for families proven in r01/r02
-    "q_agg_groupby",
-    "q_join_inner",
-    "q_win_rownum",
-    "q_dedup_text",
+    # historical-red sentinel
     "q_bool_aggs",
-    # new this round: fact-fact self-asof over events
-    "q_join_asof_events",
-    # never-driver-checked: clusters / sampling (iterative + sampling risk)
-    "q_dedup_clusters",
-    "q_corpus_prep",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    # multimodal (mapInPandas Arrow plumbing)
-    "q_multimodal_meta",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    # quality tier 2
-    "q_repetition_score",
-    "q_lexical_diversity",
-    # aggregates tier 2
-    "q_histogram",
-    "q_latest_per_key",
-    "q_skew_distinct",
-    "q_agg_grouping_id",
-    "q_median_by_group",
-    "q_corr_covar",
-    # composite analytics (16)
-    "q_cohort_retention",
-    "q_funnel",
+    # plan changed this round (forced-broadcast sweep) — re-verify
     "q_regional_revenue",
+    "q_revenue_topk",
     "q_large_orders",
-    "q_string_agg",
-    "q_rolling_active_users",
-    "q_snapshot_diff",
-    "q_two_nation_volume",
-    "q_returned_revenue_topk",
-    "q_ohlc_hourly",
-    "q_copurchase_pairs",
-    "q_session_stats",
-    "q_snapshot_apply",
-    "q_mad_outliers",
-    "q_retention_matrix",
-    "q_interarrival",
-    # windows tier 2 (11)
-    "q_win_ntile_scalable",
-    "q_win_lead",
-    "q_win_first_last",
-    "q_fill_forward",
-    "q_win_range_frame",
-    "q_win_pct_rank",
-    "q_topk",
-    "q_win_topk_per_group",
-    "q_zscore",
-    "q_win_cume_dist",
-    "q_interpolate_linear",
-    # stream-batch pair join
-    "q_stream_pair_join",
-    # raw-scan pair — lowest novelty of the unchecked set; positions ~51+
-    # slip out of an exactly-50 window and rotate into round 4 with the
-    # functions.families scalars
+    # raw-scan pair, twice slipped at positions 51-52 — top-10 now
     "q_time_range_scan",
     "q_profile_events",
+    # functions.families scalar families (14, deferred r01-r03)
+    "q_select_exprs",
+    "q_nullif_coalesce",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_try_cast",
+    "q_array_funcs2",
+    "q_bitwise",
+    "q_greatest_least",
+    "q_str_pad",
+    "q_map_funcs",
+    "q_array_hof3",
+    "q_map_funcs2",
+    # TPC-H sweep (plans/tpch2 + tpch3, 17 — Q2/Q9/Q17/Q20 correlated
+    # shapes are the riskiest SQL in the repo; market_share/top_supplier/
+    # suppliers_waiting/promo/disjunctive also carry this round's hint
+    # sweep)
+    "q_pricing_summary",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_stock",
+    "q_supplier_cnt",
+    "q_small_qty_revenue",
+    "q_excess_suppliers",
+    "q_priority_wait",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_shipmode_priority",
+    "q_custdist",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_disjunctive_rev",
+    "q_suppliers_waiting",
+    "q_idle_customers",
+    # rebuilt this round (yoy hint drop; pagerank degree-fold)
+    "q_yoy_growth",
+    "q_pagerank",
+    # modern SQL surface
+    "q_recursive_bfs",
+    "q_lateral_topn",
+    "q_null_semantics",
+    "q_pivot_multi",
+    # VARIANT + Python Data Source
+    "q_variant_get",
+    "q_variant_agg",
+    "q_python_datasource",
+    # corpus assembly (first 3 of the family; rest in round 5)
+    "q_decontaminate",
+    "q_pack_contexts",
+    "q_span_dedup",
 )
 
-# Round-4 rotation backlog (never driver-checked after the r03 window):
-# functions.families scalars (14), the TPC-H sweep (plans/tpch2+tpch3),
-# plans.analytics2/analytics3/finance, llm.corpus/mlprep, and the
-# round-3-session additions — operators.sketches, q_variant_get/agg,
-# q_python_datasource, plans.sql_surface, q_bitmap_distinct,
-# q_mode_by_group, q_explode_outer, q_moments, q_regr_ols,
-# q_semantic_dedup, q_corpus_stats, q_array_agg_distinct. Keep the
-# flagship + one sentinel per green family inside the next window.
+# Round-5 rotation backlog (never driver-checked after the r04 window,
+# 36 left): plans.finance (12 indicators), plans.analytics3 (sessionize,
+# scd2, dq, triangles, ewma), analytics2 remainder (q_event_transitions,
+# q_ohlc_daily_reagg), corpus remainder (q_domain_mix, q_source_cap,
+# q_pii_redact, q_chunk_windows, q_corpus_stats, q_array_agg_distinct +
+# WEAK q_semantic_dedup), aggregates tier 3 (q_bitmap_distinct,
+# q_mode_by_group, q_moments, q_regr_ols), q_explode_outer,
+# q_embed_standardize, and the 4 WEAK sketches (rows-only). 36 + flagship
+# + sentinels fits ONE final window — full driver coverage closes in r05.
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
