@@ -254,7 +254,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg")
     )
     totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
-    kept = segs.join(F.broadcast(common), "seg", "left_anti")
+    # `common` is corpus-derived (grows with data) — no forced broadcast
+    # hint; AQE broadcasts the anti side only while it measures small
+    kept = segs.join(common, "seg", "left_anti")
     return (
         kept.groupBy("doc_id")
         .agg(

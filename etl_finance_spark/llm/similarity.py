@@ -534,6 +534,11 @@ def semantic_dedup(vectors: DataFrame, tau: float) -> DataFrame:
     (q_embed_neardup): a cross-cell near-duplicate pair is missed —
     that recall loss is measured, not hidden, in
     tests/test_llm.py::TestSemanticDedup."""
+    # the corpus feeds k-means seeding, the Lloyd passes, cell routing
+    # and both sides of the pair scan — persist once (same rationale as
+    # ann_ivf_topk, VERDICT r2 #7: without it every consumer re-runs
+    # the scan + unit-vec projection)
+    vectors = vectors.persist()
     cent = ivf_centroids(vectors)
     cells = ivf_assign(vectors.select("vec_id", "vec"), cent, nprobe=1)
     v = vectors.select("vec_id", "vec", "nrm").join(cells, "vec_id")

@@ -264,23 +264,28 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: term frequency × ln(N/df), the
-    canonical keyword extraction. df is tiny (≤ vocab), so it joins back
-    broadcast; ranking uses the rounded score + term tiebreak so the row
-    set is engine-stable."""
+    canonical keyword extraction. The df frame is VOCABULARY-sized —
+    Heaps-law unbounded, not a fixed dim — so its join carries no forced
+    broadcast hint (round-4 rule: AQE decides from measured sizes; the
+    tf⋈df equi-join on term is the correct shuffle shape at corpus
+    scale). Corpus size N rides in as a 1-row aggregate cross join —
+    no driver-side count() action inside the plan. Ranking uses the
+    rounded score + term tiebreak so the row set is engine-stable."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n = d.count()  # scalar corpus size; literal in the plan
+    n1 = d.agg(F.count("*").cast("double").alias("n_docs"))
     from pyspark.sql.window import Window
 
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n1))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")

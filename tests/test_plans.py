@@ -422,6 +422,9 @@ _HINT_SWEPT_QUERIES = (
     "q_disjunctive_rev", "q_min_cost_supplier", "q_product_profit",
     "q_important_stock", "q_supplier_cnt", "q_small_qty_revenue",
     "q_excess_suppliers",
+    # round-4 additions: vocabulary-sized df frame, corpus-derived
+    # common-segment set
+    "q_tfidf", "q_span_dedup",
 )
 
 
