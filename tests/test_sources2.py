@@ -262,6 +262,54 @@ class TestLakeLayout:
         got = {tuple(r) for r in spark.read.parquet(path).collect()}
         assert got == want
 
+    def test_compact_refuses_partitioned_layout(self, spark, tmp_path):
+        """A hive-partitioned root must be refused (ADVICE r3): blind
+        compaction would read partition columns back as data columns
+        and flatten the directory layout."""
+        import pytest
+        from etl_finance_spark.sources.sinks import compact_partitions
+
+        path = str(tmp_path / "hive")
+        nation = table(spark, SF_CORRECT, "nation")
+        nation.write.partitionBy("n_regionkey").parquet(path)
+        with pytest.raises(ValueError, match="flat parquet directory"):
+            compact_partitions(spark, path, target_files=1)
+        # untouched: still readable with partition columns intact
+        back = spark.read.parquet(path)
+        assert back.count() == nation.count()
+        assert "n_regionkey" in back.columns
+
+    def test_compact_restores_original_on_failed_swap(self, spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+        """If the second rename of the swap dies, the original directory
+        must come back (ADVICE r3) — readers never observe `path`
+        absent with the data stranded in the __old backup."""
+        import pytest
+        from etl_finance_spark.sources.sinks import compact_partitions
+
+        path = str(tmp_path / "frag2")
+        nation = table(spark, SF_CORRECT, "nation")
+        nation.repartition(4).write.parquet(path)
+        want = {tuple(r) for r in nation.collect()}
+
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the tmp -> path rename
+                raise OSError("simulated rename failure")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", flaky_rename)
+        with pytest.raises(OSError, match="simulated"):
+            compact_partitions(spark, path, target_files=1)
+        monkeypatch.undo()
+        assert os.path.isdir(path)
+        got = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert got == want
+
     def test_merge_schema_evolution(self, spark, tmp_path):
         """Appends with a widened schema read back as one frame under
         mergeSchema, old rows null-filled for the new column — the
