@@ -130,15 +130,25 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float, n: int = 2) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: one groupBy pass computing all
-    ``n_hashes`` mins map-side (no per-seed explosion — each seed is an
-    independent min-agg over xxhash64(tok, seed))."""
-    toks = doc_tokens(docs)
-    aggs = [
-        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    """Per-doc MinHash signature, ZERO-shuffle since round-4: a doc's
+    token set is row-local, so each seed's min is an array_min over a
+    row-local transform (xxhash64(tok, seed)) — no explode, no
+    groupBy(doc_id) exchange of every token in the corpus (the round-3
+    shape; the min values are identical since both fold the same
+    distinct token set). Hash-op count is unchanged at
+    n_hashes × |tokens|; only the token shuffle disappears."""
+    arr = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+    def mh(seed: int):
+        # factory, not an inline 2-arg lambda: transform would bind a
+        # second lambda parameter to the ARRAY INDEX, shadowing the seed
+        return F.array_min(
+            F.transform("toks", lambda t: F.xxhash64(t, F.lit(seed)))
+        ).alias(f"mh{seed}")
+
+    return arr.select("doc_id", *[mh(i) for i in range(n_hashes)])
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_MINHASH,
@@ -207,12 +217,28 @@ def simhash(docs: DataFrame, n_bits: int = 63) -> DataFrame:
     overflow signed long under ANSI). Per bit, sum of ±1 votes from each
     token's xxhash64; bit set iff the vote is positive.
 
-    Shape: one collect_list agg + higher-order folds over the hash
-    array. The bit loops live inside the HOF expressions instead of 63
-    unrolled aggregate columns — 2.5× faster (less codegen, one agg
-    buffer), bit-identical output."""
-    toks = doc_tokens(docs).withColumn("h", F.xxhash64("tok"))
-    agg = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    Shape: ZERO-shuffle since round-4 — a document's token set is
+    row-local, so the hash array builds with array_distinct + transform
+    in a projection and the bit loops run as higher-order folds over
+    it. The round-3 shape exploded tokens and re-grouped them
+    (groupBy(doc_id) collect_list), shuffling every token of the corpus
+    just to reassemble what the row already had; output is
+    bit-identical (the vote sum is order-independent).
+
+    The single-element explode below is a deliberate CollapseProject
+    BARRIER, not noise: without a Generate node between the hash-array
+    projection and the bit folds, Catalyst collapses the two projects
+    and inlines the hs expression into the per-bit fold lambda — the
+    token hashing then re-executes once PER BIT (63x; measured 3.6s vs
+    1.1s at sf0.1 under the noop sink). The Generate stays map-side
+    (row multiplier 1) and costs nothing."""
+    agg = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.xxhash64(t),
+        ).alias("hs"),
+    ).select("doc_id", "hs", F.explode(F.array(F.lit(1))).alias("_one"))
     bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
     # shiftright/shiftleft via call_function: the Python wrappers require
     # literal shift amounts, the SQL functions accept column expressions

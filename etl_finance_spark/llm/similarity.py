@@ -105,20 +105,28 @@ def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
 
 
 def _planes_df(spark: SparkSession) -> DataFrame:
-    """The hyperplane set as a 16-row broadcast table (band_idx, r,
-    plane). A literal-expression encoding (16×64 literals inlined into
-    one projection) costs seconds of codegen; a tiny broadcast join
-    costs nothing and keeps the plan readable."""
+    """The hyperplane set PACKED into one broadcast row:
+    bands = array<struct<band_idx:int, planes:array<array<double>>>>.
+    A literal-expression encoding (16×64 literals inlined into one
+    projection) costs seconds of codegen; a 1-row broadcast cross join
+    costs nothing, keeps the plan readable, and lets the band bits fold
+    map-side (see lsh_band_keys)."""
     planes = _planes()
     per_band = N_PLANES // N_BANDS
-    rows = [
-        (bi, r, planes[bi * per_band + r])
-        for bi in range(N_BANDS)
-        for r in range(per_band)
+    row = [
+        [
+            (bi, [planes[bi * per_band + r] for r in range(per_band)])
+            for bi in range(N_BANDS)
+        ]
     ]
     return spark.createDataFrame(
-        rows, "band_idx int, r int, plane array<double>"
+        [row],
+        "bands array<struct<band_idx:int, planes:array<array<double>>>>",
     )
+
+
+# 2^r lookup for the in-band bit fold (per_band <= 8 is plenty)
+_POW2 = [1, 2, 4, 8, 16, 32, 64, 128]
 
 
 def lsh_band_keys(df: DataFrame) -> DataFrame:
@@ -127,18 +135,42 @@ def lsh_band_keys(df: DataFrame) -> DataFrame:
     Exact 16-bit bucket equality has near-zero recall on unclustered
     vectors; banding trades candidate-set size for recall the standard
     way. Emits (vec_id, band_idx, band_bits) — ids only; vectors
-    re-attach after candidate dedup."""
+    re-attach after candidate dedup.
+
+    ZERO-shuffle since round-4: with the planes packed into a single
+    broadcast row, each vector's band signatures fold entirely map-side
+    (sign bit × 2^r summed inside a row-local aggregate, then one
+    explode to band grain). The round-3 shape pushed corpus × 16 rows
+    through a groupBy(vec_id, band_idx) exchange — a corpus-cardinality
+    shuffle that at 100 TB dwarfed the hash computation itself."""
     spark = df.sparkSession
-    j = df.select("vec_id", "vec").crossJoin(F.broadcast(_planes_df(spark)))
-    bit = (
-        F.when(dot(F.col("vec"), F.col("plane")) > 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    vec = F.col("vec")
+    sig = F.transform(
+        F.col("bands"),
+        lambda b: F.struct(
+            b.getField("band_idx").alias("band_idx"),
+            F.aggregate(
+                F.transform(
+                    b.getField("planes"),
+                    lambda p, r: F.when(
+                        dot(vec, p) > 0, F.element_at(pow2, r + 1)
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("band_bits"),
+        ),
     )
     return (
-        j.withColumn("bit", bit)
-        .groupBy("vec_id", "band_idx")
-        .agg(F.sum(F.expr("shiftleft(bit, r)")).alias("band_bits"))
+        df.select("vec_id", "vec")
+        .crossJoin(F.broadcast(_planes_df(spark)))
+        .select("vec_id", F.explode(sig).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s").getField("band_idx").alias("band_idx"),
+            F.col("s").getField("band_bits").alias("band_bits"),
+        )
     )
 
 
@@ -155,6 +187,10 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     ``queries_subset_of_vectors=True``: query bands are then a
     broadcast-semi-filtered view of the corpus bands instead of a
     second full hash pass over the query vectors."""
+    # corpus feeds the band pass + both rerank sides; persist once so
+    # the unit-vec projection materializes instead of re-inlining into
+    # every consumer (same rationale as ann_ivf_topk / semantic_dedup)
+    vectors = vectors.persist()
     bands = lsh_band_keys(vectors)
     vb = bands.select(
         F.col("vec_id").alias("cid"), "band_idx", "band_bits",
