@@ -481,3 +481,40 @@ def test_no_forced_broadcast_on_unbounded_sides(spark):
                 f"{name}: broadcast hint pins an sf-proportional build:\n"
                 f"{side.toString()}"
             )
+
+
+def test_signature_passes_are_zero_shuffle(spark):
+    """Round-4 headline: MinHash/SimHash/LSH signatures and IVF routing
+    never exchange the corpus — the only allowed Exchange is the 1-row
+    broadcast of a packed model/plane set. (A corpus-cardinality
+    shuffle here was the round-3 shape; at 100 TB it dwarfed the hash
+    math it fed.)"""
+    from etl_finance_spark.catalog import table
+    from etl_finance_spark.llm.dedup import minhash_signatures, simhash
+    from etl_finance_spark.llm.similarity import (
+        ivf_assign, ivf_centroids, lsh_band_keys, with_unit_vec,
+    )
+
+    docs = table(spark, SF_CORRECT, "documents")
+    emb = with_unit_vec(table(spark, SF_CORRECT, "embeddings"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"))
+
+    for name, df in (
+        ("minhash", minhash_signatures(docs)),
+        ("simhash", simhash(docs)),
+        ("lsh_bands", lsh_band_keys(emb)),
+        ("ivf_assign", ivf_assign(emb, ivf_centroids(emb), 1)),
+        ("ivf_assign_probe2", ivf_assign(emb, ivf_centroids(emb), 2)),
+    ):
+        plan = plan_of(df)
+        n_ex, n_bex = plan.count("Exchange"), plan.count("BroadcastExchange")
+        assert n_ex == n_bex, f"{name}: non-broadcast Exchange:\n{plan}"
+
+    # the simhash CollapseProject barrier must survive refactors: a
+    # Generate node separates the hash-array projection from the bit
+    # folds (without it the token hashing re-executes once per bit)
+    assert "Generate" in plan_of(simhash(docs))
