@@ -525,7 +525,11 @@ def q_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's /0.0 would return inf, never NULL, so the guard is
     load-bearing). Shuffle story: daily rollup, a one-row-per-day
     market re-agg that BROADCASTS back onto the fact (no second fact
-    shuffle), then one user_id agg."""
+    shuffle), then one user_id agg. The market hint is deliberate and
+    stays under the round-4 bounded-broadcast rule: its cardinality is
+    CALENDAR-bounded (one row per day — a decade is ~3.7k rows at any
+    data volume), not sf-proportional, so it can never become a
+    broadcast-OOM as data scales."""
     daily = _daily_cents(spark, sf_dir)
     market = daily.groupBy("day_s").agg(F.sum("vc").alias("mc"))
     dec = "decimal(18,0)"
