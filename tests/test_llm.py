@@ -121,6 +121,38 @@ def test_ivf_recall_and_determinism(spark):
     assert c1 == c2
 
 
+def test_ivf_sample_bounded_training(spark):
+    """Quantizer training is bounded by train_cap (the FAISS-style
+    constant-cost index build). Invariants: (a) any cap >= corpus size
+    yields the identical model — the sample IS the corpus, so the cap's
+    existence never perturbs fixture-scale results; (b) a cap smaller
+    than the corpus still yields a deterministic model with routable
+    recall (cells cover the data; nprobe search still beats random)."""
+    from etl_finance_spark.llm.similarity import ann_ivf_topk, ivf_centroids
+
+    emb = with_unit_vec(table(spark, SF_SMOKE, "embeddings"))
+    n = emb.count()
+    full_a = sorted(map(tuple, ivf_centroids(emb, train_cap=n).collect()))
+    full_b = sorted(map(tuple, ivf_centroids(emb, train_cap=10 * n).collect()))
+    assert full_a == full_b  # cap >= corpus: sample == corpus, same model
+
+    cap = max(64, n // 4)
+    small_a = sorted(map(tuple, ivf_centroids(emb, train_cap=cap).collect()))
+    small_b = sorted(map(tuple, ivf_centroids(emb, train_cap=cap).collect()))
+    assert small_a == small_b  # hash-ordered sample is deterministic
+
+    # a sample-trained model still routes: recall beats random routing
+    # (nprobe/ncells = 1/8) by a wide margin on the fixture corpus
+    queries = emb.filter(F.col("vec_id") < 50)
+    brute = cosine_topk(emb, queries, TOP_K).collect()
+    cent = ivf_centroids(emb, train_cap=cap)
+    ivf = ann_ivf_topk(emb, queries, TOP_K, cent=cent).collect()
+    bset = {(r.qid, r.cid) for r in brute}
+    iset = {(r.qid, r.cid) for r in ivf}
+    recall = len(iset & bset) / len(bset)
+    assert recall >= 0.3, f"sample-trained recall {recall:.3f}"
+
+
 def test_connected_components_known_graph(spark):
     """Pin component structure on a crafted graph: two chains and an
     isolated pair; labels converge to each component's min node id."""
