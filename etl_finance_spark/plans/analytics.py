@@ -485,21 +485,12 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in at
     least two orders. The self-join is keyed on the ORDER (pair fan-out
     bounded by basket size squared, ~tens per order), never on the
-    part — the plan a recommender's candidate generator uses at scale."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    return (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    part — the plan a recommender's candidate generator uses at scale.
+    Reads the session's shared co-purchase graph build (plans/graph.py —
+    one materialization serves this, q_pagerank and q_triangle_count)."""
+    from etl_finance_spark.plans.graph import copurchase_edges
+
+    return copurchase_edges(spark, sf_dir).select("p1", "p2", "n_orders")
 
 
 @register(

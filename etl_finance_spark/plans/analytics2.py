@@ -87,22 +87,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and no broadcast of the node-cardinality degree table (VERDICT
     r3: that broadcast grows with |nodes| — an OOM class at 100 TB).
     Nothing ever collects to the driver. The graph is symmetric so no
-    dangling-mass term is needed (every node has out-degree >= 1)."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= PR_MIN_ORDERS)
-        .select("p1", "p2")
-    )
+    dangling-mass term is needed (every node has out-degree >= 1).
+    Reads the session's shared co-purchase graph build (plans/graph.py,
+    threshold MIN_ORDERS == PR_MIN_ORDERS) — one materialization serves
+    this, q_copurchase_pairs and q_triangle_count."""
+    from etl_finance_spark.plans.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )

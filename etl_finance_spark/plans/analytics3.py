@@ -265,23 +265,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (a,b)x(b,c)x(a,c): two equi-joins, no post-filter dedup. The
     oriented edge list bounds each join's fan-out by out-degree (not
     total degree), the standard skew guard; the final count collapses
-    map-side."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
-    e = (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()  # 3 consumers below; don't rebuild the rollup
-    )
+    map-side. Reads the session's shared co-purchase graph build
+    (plans/graph.py) — the persisted edge frame serves all three of its
+    self-join consumers below without rebuilding the rollup, and is the
+    same materialization q_copurchase_pairs / q_pagerank read."""
+    from etl_finance_spark.plans.graph import copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir).select("p1", "p2")
     e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     e2 = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     e3 = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
