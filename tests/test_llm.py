@@ -105,6 +105,11 @@ def test_ivf_recall_and_determinism(spark):
     ivf = ann_ivf_topk(emb, queries, TOP_K).collect()
     bset = {(r.qid, r.cid) for r in brute}
     iset = {(r.qid, r.cid) for r in ivf}
+    # candidate generation must be duplicate-free WITHOUT a distinct
+    # (one cell per corpus vector x distinct probed cells — the reason
+    # ann_ivf_topk carries no dedup shuffle); a dupe here would surface
+    # as repeated (qid, cid) rows in the top-k
+    assert len(ivf) == len(iset)
     recall = len(iset & bset) / len(bset)
     # nprobe=2 of 16 cells reads ~1/8 of the corpus; measured recall is
     # a deterministic 0.52 on sf0.001 — 4x better than the 0.125 random
