@@ -203,8 +203,22 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         qb = lsh_band_keys(queries).select(
             F.col("vec_id").alias("qid"), "band_idx", "band_bits",
         )
+    # salt the band join on a hash bucket of cid (same parallelism move
+    # as the IVF candidate join): bare band keys give N_BANDS x 2^bits
+    # distinct shuffle keys with hot buckets as stragglers; the small
+    # query side replicates PAIR_SALTS x, each (qid, cid) meeting per
+    # matching band exactly as before — the distinct then collapses
+    # multi-band hits with full (qid, cid) key parallelism.
+    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
     cand = (
-        qb.join(vb, ["band_idx", "band_bits"])
+        qb.withColumn("salt", F.explode(salts))
+        .join(
+            vb.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("cid"), F.lit(PAIR_SALTS)).cast("int"),
+            ),
+            ["band_idx", "band_bits", "salt"],
+        )
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
         .distinct()
@@ -288,6 +302,10 @@ N_PROBE = 2
 LLOYD_ITERS = 2
 CHECKPOINT_EVERY = 4  # Lloyd passes between lineage cuts; see ivf_centroids
 TRAIN_CAP = 4096  # quantizer training-sample bound; see ivf_centroids
+# Cell-keyed joins have only N_CELLS distinct shuffle keys; salting by a
+# hash bucket of the corpus-side id raises their parallelism ceiling to
+# N_CELLS x PAIR_SALTS (see semantic_dedup / ann_ivf_topk candidates).
+PAIR_SALTS = 8
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -483,8 +501,22 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     # distinct by construction (slice of a per-cell score sort), so a
     # (qid, cid) pair can only arise once — a dedup would be a pure
     # candidate-cardinality shuffle bought for nothing.
+    # SALTED on the corpus side's cid bucket (same move as the
+    # semantic_dedup pair scan): a bare-cell join has only N_CELLS
+    # distinct keys, capping candidate generation at N_CELLS tasks with
+    # the largest cell as straggler. The small query-routing side
+    # replicates PAIR_SALTS x; each (qid, cid) still meets exactly once
+    # (the bucket is a function of cid alone).
+    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
     cand = (
-        query_cells.join(corpus_cells, "cell")
+        query_cells.withColumn("salt", F.explode(salts))
+        .join(
+            corpus_cells.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("cid"), F.lit(PAIR_SALTS)).cast("int"),
+            ),
+            ["cell", "salt"],
+        )
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
     )
@@ -632,12 +664,25 @@ def semantic_dedup(vectors: DataFrame, tau: float,
         cent = ivf_centroids(vectors)
     cells = ivf_assign(vectors.select("vec_id", "vec"), cent, nprobe=1)
     v = vectors.select("vec_id", "vec", "nrm").join(cells, "vec_id")
+    # SALTED pair scan: joining on the bare cell id gives the shuffle
+    # only N_CELLS distinct keys, so the quadratic within-cell cosine
+    # work lands on at most N_CELLS tasks and the largest cell becomes
+    # the straggler — a parallelism ceiling a 1000-executor cluster
+    # would hit immediately. Split each cell's pairs by a deterministic
+    # hash bucket of d2: the left side replicates PAIR_SALTS x (ids +
+    # vectors — bounded fan-out), the right side computes its single
+    # bucket, and each unordered pair still meets exactly once (the
+    # bucket is a function of d2 alone; d1 < d2 dedups orientation).
+    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
     a = v.select("cell", F.col("vec_id").alias("d1"),
-                 F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+                 F.col("vec").alias("v1"), F.col("nrm").alias("n1"),
+                 F.explode(salts).alias("salt"))
     b = v.select("cell", F.col("vec_id").alias("d2"),
-                 F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+                 F.col("vec").alias("v2"), F.col("nrm").alias("n2"),
+                 F.pmod(F.xxhash64("vec_id"), F.lit(PAIR_SALTS))
+                 .cast("int").alias("salt"))
     sim = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "salt"])
         .filter(F.col("d1") < F.col("d2"))
         .withColumn(
             "cosine",
