@@ -74,7 +74,22 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    pairs = q.crossJoin(c).filter(F.col("cid") != F.col("qid"))
+    # Deterministic sides: ALWAYS broadcast the bounded query set and
+    # stream the corpus. Left to size estimates, the planner's pick
+    # flips with cache state (a just-materialized InMemoryRelation
+    # reports real stats, a cold scan reports file size), and the wrong
+    # pick streams the 100-row side — serializing the whole k x N dot-
+    # product fan-out onto its 1-2 partitions. The corpus side also
+    # rebalances to the configured shuffle parallelism first: the
+    # per-row compute here is heavy (|Q| x 64-dim folds per corpus
+    # row), so task balance is worth one linear corpus exchange — the
+    # quadratic compute it feeds dominates it asymptotically, and the
+    # fixture corpus otherwise arrives as 1-2 parquet splits.
+    pairs = (
+        c.hint("rebalance")  # AQE right-sizes the corpus partitions
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+    )
     cos = F.round(
         dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
     )

@@ -545,3 +545,12 @@ def test_shared_builds_are_memoized_and_cached(spark):
         # text — the InMemoryTableScan node is the signal that execution
         # reads the cache instead of re-running that subplan)
         assert "InMemoryTableScan" in plan, f"{name} rebuilds the edges:\n{plan}"
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    """The exact cosine rung must ALWAYS broadcast the bounded query set
+    and stream (rebalanced) corpus — left to size estimates the pick
+    flips with cache state, and the wrong pick serializes the whole
+    k x N dot-product fan-out onto the query side's 1-2 partitions."""
+    plan = _simple(spark, "q_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
