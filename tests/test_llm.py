@@ -78,6 +78,33 @@ def test_ann_recall_vs_brute_force(spark):
             assert abs(r.cosine - bcos[(r.qid, r.cid)]) < 1e-9
 
 
+def test_salting_never_changes_results(spark):
+    """The PAIR_SALTS fan-out on cell/band-keyed joins is a pure
+    parallelism move: every pair still meets exactly once, so results
+    with salting disabled (PAIR_SALTS=1) must be row-identical for the
+    LSH top-k, the IVF top-k, and the semantic-dedup verdict."""
+    import etl_finance_spark.llm.similarity as S
+
+    emb = with_unit_vec(table(spark, SF_SMOKE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 50)
+
+    def snapshot():
+        lsh = {tuple(r) for r in S.ann_lsh_topk(emb, queries, TOP_K).collect()}
+        ivf = {tuple(r) for r in S.ann_ivf_topk(emb, queries, TOP_K).collect()}
+        sem = {tuple(r) for r in S.semantic_dedup(emb, S.SEMDEDUP_TAU).collect()}
+        return lsh, ivf, sem
+
+    salted = snapshot()
+    orig = S.PAIR_SALTS
+    S.PAIR_SALTS = 1
+    try:
+        unsalted = snapshot()
+    finally:
+        S.PAIR_SALTS = orig
+    for name, s, u in zip(("lsh", "ivf", "semdedup"), salted, unsalted):
+        assert s == u, f"{name}: salted and unsalted results differ"
+
+
 def test_word_ngrams_degenerate_docs(spark):
     """Docs with < n tokens must yield zero shingles, not an ANSI
     INVALID_ARRAY_INDEX crash (round-1 ADVICE): sequence(1, size-1)
