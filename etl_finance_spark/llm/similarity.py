@@ -206,7 +206,12 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # the unit-vec projection materializes instead of re-inlining into
     # every consumer (same rationale as ann_ivf_topk / semantic_dedup)
     vectors = vectors.persist()
-    bands = lsh_band_keys(vectors)
+    # the band signature frame IS the LSH index, and both join sides
+    # below consume it (corpus bands + the semi-filtered query bands);
+    # unpersisted, the 16-hyperplane fold over every corpus vector runs
+    # once per consumer. It is ids + two ints per band — the cheapest
+    # frame in the plan to keep.
+    bands = lsh_band_keys(vectors).persist()
     vb = bands.select(
         F.col("vec_id").alias("cid"), "band_idx", "band_bits",
     )
