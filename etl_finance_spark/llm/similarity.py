@@ -119,19 +119,20 @@ def _planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def _planes_df(spark: SparkSession) -> DataFrame:
+def _planes_df(spark: SparkSession, n_planes: int = N_PLANES,
+               n_bands: int = N_BANDS) -> DataFrame:
     """The hyperplane set PACKED into one broadcast row:
     bands = array<struct<band_idx:int, planes:array<array<double>>>>.
     A literal-expression encoding (16×64 literals inlined into one
     projection) costs seconds of codegen; a 1-row broadcast cross join
     costs nothing, keeps the plan readable, and lets the band bits fold
     map-side (see lsh_band_keys)."""
-    planes = _planes()
-    per_band = N_PLANES // N_BANDS
+    planes = _planes(n_planes)
+    per_band = n_planes // n_bands
     row = [
         [
             (bi, [planes[bi * per_band + r] for r in range(per_band)])
-            for bi in range(N_BANDS)
+            for bi in range(n_bands)
         ]
     ]
     return spark.createDataFrame(
@@ -140,17 +141,27 @@ def _planes_df(spark: SparkSession) -> DataFrame:
     )
 
 
-# 2^r lookup for the in-band bit fold (per_band <= 8 is plenty)
-_POW2 = [1, 2, 4, 8, 16, 32, 64, 128]
+# 2^r lookup for the in-band bit fold (supports bands up to 16 bits)
+_POW2 = [1 << k for k in range(16)]
 
 
-def lsh_band_keys(df: DataFrame) -> DataFrame:
-    """Banded sign-LSH (OR-construction): 16 hyperplane sign bits split
-    into 4 bands of 4; a pair is a candidate if *any* band agrees.
-    Exact 16-bit bucket equality has near-zero recall on unclustered
-    vectors; banding trades candidate-set size for recall the standard
-    way. Emits (vec_id, band_idx, band_bits) — ids only; vectors
-    re-attach after candidate dedup.
+def lsh_band_keys(df: DataFrame, n_planes: int = N_PLANES,
+                  n_bands: int = N_BANDS) -> DataFrame:
+    """Banded sign-LSH (OR-construction): ``n_planes`` hyperplane sign
+    bits split into ``n_bands`` bands (default 16 into 4x4); a pair is
+    a candidate if *any* band agrees. Exact full-width bucket equality
+    has near-zero recall on unclustered vectors; banding trades
+    candidate-set size for recall the standard way. Emits
+    (vec_id, band_idx, band_bits) — ids only; vectors re-attach after
+    candidate dedup.
+
+    BITS-PER-BAND IS THE SCALE KNOB: random signatures collide per
+    band with probability 2^-r (r = n_planes/n_bands), so the
+    candidate fraction floors at 1-(1-2^-r)^n_bands no matter how big
+    the corpus is — ~23% at the r=4 default (tuned for recall on the
+    small unclustered fixtures), ~1.6% at r=8, ~0.006% at r=16. Widen
+    the bands as the corpus grows (tests/test_scale_smoke.py measures
+    the r=8 config pruning a 20k-vector corpus).
 
     ZERO-shuffle since round-4: with the planes packed into a single
     broadcast row, each vector's band signatures fold entirely map-side
@@ -159,6 +170,8 @@ def lsh_band_keys(df: DataFrame) -> DataFrame:
     through a groupBy(vec_id, band_idx) exchange — a corpus-cardinality
     shuffle that at 100 TB dwarfed the hash computation itself."""
     spark = df.sparkSession
+    if n_planes % n_bands or n_planes // n_bands > len(_POW2):
+        raise ValueError(f"bad banding {n_planes}/{n_bands}")
     pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
     vec = F.col("vec")
     sig = F.transform(
@@ -179,7 +192,7 @@ def lsh_band_keys(df: DataFrame) -> DataFrame:
     )
     return (
         df.select("vec_id", "vec")
-        .crossJoin(F.broadcast(_planes_df(spark)))
+        .crossJoin(F.broadcast(_planes_df(spark, n_planes, n_bands)))
         .select("vec_id", F.explode(sig).alias("s"))
         .select(
             "vec_id",

@@ -1,0 +1,138 @@
+"""Scale-invariant smoke tests on a 10x-fixture synthetic corpus.
+
+The fixture embeddings (2000 vectors at sf0.1, 200 at sf0.001) never
+exceed the quantizer's TRAIN_CAP, so the fixture suite exercises the
+sample-bounded training path only via an artificially small cap. This
+module synthesizes a 20k-vector corpus — above TRAIN_CAP — and asserts
+the properties that make the ANN/dedup ladder a 100 TB design, as
+STRUCTURAL invariants (candidate-set fractions, recall floors,
+above-cap determinism), never wall-clock assertions:
+
+- LSH banding prunes: candidate pairs are a small fraction of the
+  all-pairs space, at 10x the fixture corpus (the claim that the pair
+  space "never materializes" must survive growth, not just sf0.1).
+- IVF above the cap: the quantizer trains on the bounded sample, stays
+  deterministic, spreads the corpus across many cells (no degenerate
+  one-cell model), and nprobe routing still beats random recall.
+- Semantic dedup pair scan stays bounded per cell: the number of
+  scanned pairs is sum(|cell| choose 2) — far below all-pairs.
+
+Vectors are deterministic (hash-seeded, mildly clustered so ANN has
+structure to find), generated on executors via the id range — no
+driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_finance_spark.llm.similarity as S
+
+N = 20_000
+DIM = 64
+N_QUERIES = 30
+
+
+@pytest.fixture(scope="module")
+def big_corpus(spark):
+    """20k deterministic 64-dim vectors with planted cluster structure:
+    32 hash-seeded anchor directions, each vector = anchor + small
+    hash noise. Generated from spark.range — rows are born on
+    executors."""
+    df = spark.range(N).select(F.col("id").cast("long").alias("vec_id"))
+    anchor = F.pmod(F.xxhash64("vec_id"), F.lit(32))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(anchor * F.lit(1000) + i), F.lit(997))
+            / F.lit(997.0)
+            - 0.5
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id") * F.lit(10007) + i),
+                       F.lit(991))
+                / F.lit(991.0)
+                - 0.5
+            )
+            * F.lit(0.3)
+        ),
+    )
+    out = S.with_unit_vec(
+        df.withColumn("embedding", vec), col="embedding"
+    ).select("vec_id", "vec", "nrm").persist()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+def test_lsh_band_width_is_the_pruning_knob(spark, big_corpus):
+    """Random signatures collide per band with probability 2^-r, so the
+    candidate fraction floors at 1-(1-2^-r)^n_bands regardless of
+    corpus size: the default r=4 config (recall-tuned for the small
+    unclustered fixtures) measured 25.6% candidates here — a corpus-
+    size-independent floor, NOT scale pruning. Widening to r=8 (32
+    planes, 4 bands) is the documented scale move: measured 4.1%
+    candidates with 0.83 brute-force top-k containment on this
+    clustered corpus. Pin that operating point loosely."""
+    queries = big_corpus.filter(F.col("vec_id") < N_QUERIES)
+    bands = S.lsh_band_keys(big_corpus, 32, 4)  # r = 8 bits per band
+    vb = bands.select(F.col("vec_id").alias("cid"), "band_idx", "band_bits")
+    qb = bands.join(
+        F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
+    ).select(F.col("vec_id").alias("qid"), "band_idx", "band_bits")
+    cand = (
+        qb.join(vb, ["band_idx", "band_bits"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    n_cand = cand.count()
+    assert 0 < n_cand < 0.08 * N_QUERIES * N, n_cand
+    brute = S.cosine_topk(big_corpus, queries, S.TOP_K).collect()
+    bset = {(r.qid, r.cid) for r in brute}
+    cset = {(r.qid, r.cid) for r in cand.collect()}
+    containment = len(bset & cset) / len(bset)
+    assert containment >= 0.7, f"containment {containment:.3f}"
+
+
+def test_ivf_above_train_cap(spark, big_corpus):
+    """Corpus > TRAIN_CAP: training runs on the bounded sample. The
+    model must stay deterministic, produce a non-degenerate cell
+    layout (every cell used, largest cell far below the whole corpus),
+    and route queries with recall far above the nprobe/ncells random
+    floor."""
+    assert N > S.TRAIN_CAP  # the premise: this corpus exceeds the cap
+    c1 = sorted(map(tuple, S.ivf_centroids(big_corpus).collect()))
+    c2 = sorted(map(tuple, S.ivf_centroids(big_corpus).collect()))
+    assert c1 == c2
+    cent = S.ivf_centroids(big_corpus)
+    cells = S.ivf_assign(big_corpus, cent, 1)
+    sizes = {r["cell"]: r["n"] for r in
+             cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == S.N_CELLS  # no empty cells on clustered data
+    assert max(sizes.values()) < 0.5 * N  # no degenerate mega-cell
+
+    queries = big_corpus.filter(F.col("vec_id") < N_QUERIES)
+    brute = S.cosine_topk(big_corpus, queries, S.TOP_K).collect()
+    ivf = S.ann_ivf_topk(big_corpus, queries, S.TOP_K, cent=cent).collect()
+    bset = {(r.qid, r.cid) for r in brute}
+    iset = {(r.qid, r.cid) for r in ivf}
+    recall = len(iset & bset) / len(bset)
+    random_floor = S.N_PROBE / S.N_CELLS
+    assert recall >= 2 * random_floor, f"recall {recall:.3f}"
+
+
+def test_semdedup_pair_scan_bounded_per_cell(spark, big_corpus):
+    """The semantic-dedup quadratic term must be sum-of-cells-squared,
+    not corpus-squared: with the planted 32-cluster structure the
+    scanned pair count stays well under 25% of all-pairs."""
+    cent = S.ivf_centroids(big_corpus)
+    cells = S.ivf_assign(big_corpus, cent, 1)
+    sizes = [r["n"] for r in
+             cells.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    scanned = sum(n * (n - 1) // 2 for n in sizes)
+    all_pairs = N * (N - 1) // 2
+    assert scanned < 0.25 * all_pairs, f"{scanned}/{all_pairs}"
+    # and the verdict frame itself runs end-to-end at this size
+    verdict = S.semantic_dedup(big_corpus, S.SEMDEDUP_TAU, cent=cent)
+    assert verdict.count() == N
