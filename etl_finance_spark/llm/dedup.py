@@ -183,13 +183,28 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_MINHASH,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, tau: float) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, tau: float,
+                      n_hashes: int = N_MINHASH,
+                      band_rows: int = BAND_ROWS) -> DataFrame:
     """Rung 3 end-to-end: LSH candidates → exact Jaccard verification.
 
     The verification join re-derives token sets only for candidate
-    docs (semi-join pruned), so the exact step is linear in candidates."""
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
+    docs (semi-join pruned), so the exact step is linear in candidates.
+
+    ROWS-PER-BAND IS THE PRECISION KNOB: a pair with Jaccard j collides
+    per band with probability j^band_rows, so any corpus with a nonzero
+    BASELINE similarity (shared stopwords, boilerplate, a bounded
+    vocabulary) has a quadratic false-candidate term at band_rows=2 —
+    every pair sharing even one token is a candidate with P ≈ 16·j².
+    Measured on a 50k-doc corpus with 500 planted near-dups and ~22M
+    pairs sharing one token (tests/test_scale_smoke.py): band_rows=2 →
+    98 813 candidates (the false-positive floor), band_rows=4 → 504
+    candidates at 498/500 planted recall, band_rows=8 → over-pruned
+    (57% recall). The default stays 2 (recall-first on the small
+    fixtures); widen to 4 as the corpus — and its baseline similarity
+    — grows."""
+    sigs = minhash_signatures(docs, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, band_rows)
     toks = doc_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
