@@ -195,3 +195,21 @@ def test_minhash_ladder_recovers_planted_dups_at_scale(spark):
         assert got <= planted, got - planted
     finally:
         docs.unpersist()
+
+
+def test_connected_components_log_depth_on_deep_chain(spark):
+    """A 4096-node path graph is the adversarial DEPTH case for label
+    propagation: naive min-label needs ~4096 passes (one hop each), so
+    converging inside the default max_iter=20 proves the pointer-jump
+    step compounds propagation distance super-linearly (log-depth) —
+    the property that lets dedup-cluster chains of any practical length
+    converge at 100 TB. Labels must also be exactly right: every node
+    reaches the chain's minimum id."""
+    from etl_finance_spark.llm.clusters import connected_components
+
+    L = 4096
+    pairs = spark.range(L - 1).select(
+        F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+    out = connected_components(pairs)  # raises if max_iter exhausted
+    assert out.filter(F.col("component") != 0).count() == 0
+    assert out.count() == L
