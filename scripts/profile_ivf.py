@@ -47,14 +47,20 @@ queries = emb.filter(F.col("vec_id") < S.N_QUERY)
 query_cells = S.ivf_assign(queries, cent, S.N_PROBE).select(
     F.col("vec_id").alias("qid"), "cell"
 )
+salts = F.array(*[F.lit(s) for s in range(S.PAIR_SALTS)])
 cand = (
-    query_cells.join(corpus_cells, "cell")
+    query_cells.withColumn("salt", F.explode(salts))
+    .join(
+        corpus_cells.withColumn(
+            "salt", F.pmod(F.xxhash64("cid"), F.lit(S.PAIR_SALTS)).cast("int")
+        ),
+        ["cell", "salt"],
+    )
     .filter(F.col("cid") != F.col("qid"))
     .select("qid", "cid")
-    .distinct()
 )
 nc = cand.count()
-mark(f"routing + candidate distinct ({nc} pairs)")
+mark(f"salted routing + candidates ({nc} pairs)")
 
 qv = queries.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
                     F.col("nrm").alias("qn"))
