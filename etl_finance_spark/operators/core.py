@@ -16,7 +16,7 @@ from __future__ import annotations
 from functools import reduce
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_finance_spark.catalog import table

@@ -19,12 +19,12 @@ Documented divergences from the reference (SURVEY.md §2.1 bug ledger):
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Sequence
+from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType,
+    DoubleType, LongType, StructField, StructType, TimestampNTZType,
 )
 from pyspark.sql.window import Window
 

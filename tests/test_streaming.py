@@ -322,7 +322,6 @@ def test_foreach_batch_upsert_reraises_non_missing_errors(spark, tmp_path):
     raise, not silently append without the anti-join (round-1 ADVICE —
     that would duplicate redelivered rows)."""
     import pytest
-    from pyspark.errors import AnalysisException
 
     target = str(tmp_path / "corrupt_target")
     (tmp_path / "corrupt_target").mkdir()

@@ -7,7 +7,7 @@ import shutil
 import tempfile
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
