@@ -213,3 +213,42 @@ def test_connected_components_log_depth_on_deep_chain(spark):
     out = connected_components(pairs)  # raises if max_iter exhausted
     assert out.filter(F.col("component") != 0).count() == 0
     assert out.count() == L
+
+
+def test_salted_join_spreads_pathological_key(spark):
+    """1M-row big side where ONE key holds 50% of all rows — the
+    profile where an unsalted join floods a single reducer. The
+    content-hash salt must spread the hot key's rows near-uniformly
+    over the salt sub-keys (no sub-bucket more than 30% above the
+    uniform share), and the salted join's result must match the plain
+    join exactly at this scale."""
+    from etl_finance_spark.operators.scale import salted_join
+
+    n, hot_share, n_keys, n_salt = 1_000_000, 0.5, 10_000, 16
+    hot_rows = int(n * hot_share)
+    big = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < hot_rows, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)) + 1)
+        .alias("k"),
+    )
+    small = spark.range(n_keys + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    # load spreading: reconstruct the salt the operator derives and
+    # check the hot key's sub-bucket sizes
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("row_id", "k"), F.lit(n_salt)).cast("int"))
+    sizes = [r["c"] for r in salted.filter(F.col("k") == 0)
+             .groupBy("__salt").agg(F.count("*").alias("c")).collect()]
+    assert len(sizes) == n_salt
+    assert max(sizes) < (hot_rows / n_salt) * 1.3, max(sizes)
+
+    # result parity at scale (counts + value checksum, not row collect)
+    plain = big.join(small, "k")
+    salt = salted_join(big, small, "k", salt=n_salt)
+    agg = lambda df: df.agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"),
+        F.sum("row_id").alias("sr")).collect()[0]
+    assert agg(plain) == agg(salt)
