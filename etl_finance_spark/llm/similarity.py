@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
 
 N_QUERY = 100  # query-set bound: vec_id < 100 (scale-stable)
@@ -219,12 +220,15 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # the unit-vec projection materializes instead of re-inlining into
     # every consumer (same rationale as ann_ivf_topk / semantic_dedup)
     vectors = vectors.persist()
-    # the band signature frame IS the LSH index, and both join sides
-    # below consume it (corpus bands + the semi-filtered query bands);
-    # unpersisted, the 16-hyperplane fold over every corpus vector runs
-    # once per consumer. It is ids + two ints per band — the cheapest
-    # frame in the plan to keep.
-    bands = lsh_band_keys(vectors).persist()
+    bands = lsh_band_keys(vectors)
+    if queries_subset_of_vectors:
+        # in the self-search branch the band frame IS consumed twice
+        # (corpus bands + the semi-filtered query bands); unpersisted,
+        # the hyperplane fold over every corpus vector runs once per
+        # consumer. It is ids + two ints per band — the cheapest frame
+        # in the plan to keep. (In the two-corpora branch it has a
+        # single consumer, so caching it would buy nothing.)
+        bands = bands.persist()
     vb = bands.select(
         F.col("vec_id").alias("cid"), "band_idx", "band_bits",
     )
@@ -242,16 +246,9 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # query side replicates PAIR_SALTS x, each (qid, cid) meeting per
     # matching band exactly as before — the distinct then collapses
     # multi-band hits with full (qid, cid) key parallelism.
-    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
     cand = (
-        qb.withColumn("salt", F.explode(salts))
-        .join(
-            vb.withColumn(
-                "salt",
-                F.pmod(F.xxhash64("cid"), F.lit(PAIR_SALTS)).cast("int"),
-            ),
-            ["band_idx", "band_bits", "salt"],
-        )
+        salted_join(vb, qb, ["band_idx", "band_bits"],
+                    salt=PAIR_SALTS, salt_on=["cid"])
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
         .distinct()
@@ -392,11 +389,16 @@ def ivf_centroids(vectors: DataFrame,
     at any corpus size. When the corpus fits under the cap — every test
     fixture does — the sample IS the corpus, so the model is bit-for-bit
     the round-3 model and the measured recall constants are unchanged."""
+    # eager=False everywhere in this builder: the checkpoints still
+    # truncate lineage and cache their blocks on first materialization,
+    # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
+    # driver pass that builds all queries before running any) no longer
+    # trains the model as a side effect — the first real action does.
     train = (
         vectors.select("vec_id", "vec")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(train_cap)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     seeds = (
         train.orderBy("vec_id").limit(N_CELLS)
@@ -469,7 +471,7 @@ def ivf_centroids(vectors: DataFrame,
         # model, so they never replay k-means lineage.
         it += 1
         if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
-            cent = cent.localCheckpoint()
+            cent = cent.localCheckpoint(eager=False)
     return cent
 
 
@@ -540,16 +542,9 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     # the largest cell as straggler. The small query-routing side
     # replicates PAIR_SALTS x; each (qid, cid) still meets exactly once
     # (the bucket is a function of cid alone).
-    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
     cand = (
-        query_cells.withColumn("salt", F.explode(salts))
-        .join(
-            corpus_cells.withColumn(
-                "salt",
-                F.pmod(F.xxhash64("cid"), F.lit(PAIR_SALTS)).cast("int"),
-            ),
-            ["cell", "salt"],
-        )
+        salted_join(corpus_cells, query_cells, "cell",
+                    salt=PAIR_SALTS, salt_on=["cid"])
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
     )
@@ -701,21 +696,18 @@ def semantic_dedup(vectors: DataFrame, tau: float,
     # only N_CELLS distinct keys, so the quadratic within-cell cosine
     # work lands on at most N_CELLS tasks and the largest cell becomes
     # the straggler — a parallelism ceiling a 1000-executor cluster
-    # would hit immediately. Split each cell's pairs by a deterministic
-    # hash bucket of d2: the left side replicates PAIR_SALTS x (ids +
-    # vectors — bounded fan-out), the right side computes its single
-    # bucket, and each unordered pair still meets exactly once (the
-    # bucket is a function of d2 alone; d1 < d2 dedups orientation).
-    salts = F.array(*[F.lit(s) for s in range(PAIR_SALTS)])
+    # would hit immediately. salted_join splits each cell's pairs by a
+    # deterministic hash bucket of d2: the d1 side replicates
+    # PAIR_SALTS x (ids + vectors — bounded fan-out), the d2 side
+    # computes its single bucket, and each unordered pair still meets
+    # exactly once (the bucket is a function of d2 alone; d1 < d2
+    # dedups orientation).
     a = v.select("cell", F.col("vec_id").alias("d1"),
-                 F.col("vec").alias("v1"), F.col("nrm").alias("n1"),
-                 F.explode(salts).alias("salt"))
+                 F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
     b = v.select("cell", F.col("vec_id").alias("d2"),
-                 F.col("vec").alias("v2"), F.col("nrm").alias("n2"),
-                 F.pmod(F.xxhash64("vec_id"), F.lit(PAIR_SALTS))
-                 .cast("int").alias("salt"))
+                 F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
     sim = (
-        a.join(b, ["cell", "salt"])
+        salted_join(b, a, "cell", salt=PAIR_SALTS, salt_on=["d2"])
         .filter(F.col("d1") < F.col("d2"))
         .withColumn(
             "cosine",

@@ -40,7 +40,8 @@ _SALTABLE_HOW = frozenset({"inner", "left", "left_outer", "leftouter",
                            "left_semi", "leftsemi"})
 
 
-def salted_join(big: DataFrame, small: DataFrame, key: str,
+def salted_join(big: DataFrame, small: DataFrame,
+                key: str | Sequence[str],
                 *, salt: int = 16, how: str = "inner",
                 salt_on: Sequence[str] | None = None) -> DataFrame:
     """Equi-join with the big side salted across ``salt`` sub-keys.
@@ -52,8 +53,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     (VERDICT.md round-1 finding #5). Fully duplicate rows share a salt;
     that is acceptable because salt only spreads load, never affects
     join results. The small side replicates once per salt value and the
-    join key becomes (key, salt): the hot key's rows spread over
-    ``salt`` reducers.
+    join key becomes (*keys, salt): the hot key's rows spread over
+    ``salt`` reducers. ``key`` accepts one name or a sequence (e.g. the
+    LSH band join salts on top of (band_idx, band_bits)).
+
+    This is also the one home of the LOW-CARDINALITY-KEY salting the
+    similarity ladder uses (cell- and band-keyed candidate joins,
+    llm/similarity.py): when a join key has only k distinct values, the
+    shuffle has a k-task parallelism ceiling with the largest key as
+    straggler — salting by a hash of the big side's id raises it
+    salt-fold while every pair still meets exactly once.
 
     Only ``inner``/``left``/``left_semi`` are supported: for right or
     full outer joins, small-side keys with no big-side match would
@@ -65,6 +74,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
             "right/full-outer would emit unmatched small-side rows once "
             "per salt replica"
         )
+    keys = [key] if isinstance(key, str) else list(key)
     hash_cols = list(salt_on) if salt_on is not None else list(big.columns)
     salted_big = big.withColumn(
         "__salt",
@@ -76,5 +86,5 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     replicated_small = small.withColumn(
         "__salt", F.explode(salts)
     )
-    out = salted_big.join(replicated_small, [key, "__salt"], how)
+    out = salted_big.join(replicated_small, [*keys, "__salt"], how)
     return out.drop("__salt")
