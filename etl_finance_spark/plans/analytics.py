@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.plans.graph import MIN_ORDERS as _GRAPH_MIN_ORDERS
 from etl_finance_spark.registry import register
 
 
@@ -471,14 +472,16 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_copurchase_pairs",
-    oracle="""
+    # threshold interpolated from plans/graph.py so the oracle can never
+    # drift from the shared edge build all three graph queries read
+    oracle=f"""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
     FROM items a
     JOIN items b ON a.l_orderkey = b.l_orderkey
                 AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
-    HAVING count(*) >= 2
+    HAVING count(*) >= {_GRAPH_MIN_ORDERS}
     """,
 )
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,10 @@ from etl_finance_spark.registry import register
 
 PR_ITERS = 3
 PR_DAMP = 0.85
-PR_MIN_ORDERS = 2  # reuse the co-purchase edge threshold
+# the co-purchase edge threshold IS the shared build's (plans/graph.py):
+# importing it keeps the unrolled-CTE oracle below from ever drifting
+# from the Spark side, which reads copurchase_edges directly
+from etl_finance_spark.plans.graph import MIN_ORDERS as PR_MIN_ORDERS
 
 
 def _pagerank_oracle() -> str:

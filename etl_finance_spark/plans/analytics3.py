@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.plans.graph import MIN_ORDERS as _GRAPH_MIN_ORDERS
 from etl_finance_spark.registry import register
 
 SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
@@ -242,14 +243,15 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangle_count",
-    oracle="""
+    # threshold interpolated from plans/graph.py (shared edge build)
+    oracle=f"""
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), e AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2
+        GROUP BY 1, 2 HAVING count(*) >= {_GRAPH_MIN_ORDERS}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
     FROM e e1
