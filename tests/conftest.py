@@ -33,3 +33,12 @@ def duck_smoke():
     con = duck_connect(SF_SMOKE)
     yield con
     con.close()
+
+
+def explain_simple(spark, df) -> str:
+    """Simple-mode physical plan text (shared by the plan-test modules)."""
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )

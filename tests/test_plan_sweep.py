@@ -13,9 +13,11 @@ exhibiting its pattern fails the sweep too, so the lists cannot rot.
 
 from __future__ import annotations
 
+import re
+
 from etl_finance_spark import registry
 
-from conftest import SF_CORRECT
+from conftest import SF_CORRECT, explain_simple
 
 SPECS = registry.collect()
 
@@ -32,14 +34,53 @@ PYTHON_EVAL_ALLOWED = {
 # capped (constant-size) slice — documented in operators/windows.py.
 GLOBAL_WINDOW_ALLOWED = {"q_win_ntile"}
 
+_WSPEC = re.compile(r"windowspecdefinition\(")
+
+
+def _split_top_level(args: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def global_window_specs(plan: str) -> list[str]:
+    """Every windowspecdefinition in the plan whose PARTITION list is
+    empty — i.e. the spec's first top-level argument is already an
+    ORDER column (contains ASC/DESC) or the frame itself. Unlike a
+    whole-plan 'hashpartitioning' presence check, this cannot be masked
+    by an unrelated exchange elsewhere in the plan."""
+    found = []
+    for m in _WSPEC.finditer(plan):
+        depth, i = 1, m.end()
+        while depth and i < len(plan):
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level(plan[m.end():i - 1])
+        if not args:
+            continue
+        first = args[0]
+        if (" ASC" in first or " DESC" in first
+                or first.startswith("specifiedwindowframe")):
+            found.append(plan[m.end():i - 1][:120])
+    return found
+
 
 def _simple(spark, name: str) -> str:
-    df = SPECS[name].fn(spark, SF_CORRECT)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
-        )
-    )
+    return explain_simple(spark, SPECS[name].fn(spark, SF_CORRECT))
 
 
 def test_no_plan_antipatterns_anywhere(spark):
@@ -56,17 +97,41 @@ def test_no_plan_antipatterns_anywhere(spark):
         for pat in ("BatchEvalPython", "ArrowEvalPython"):
             if pat in plan and PYTHON_EVAL_ALLOWED.get(name) != pat:
                 hits.append(f"{name}: {pat}")
-        # 3. every window partitions by an entity key (a Window with no
-        # hashpartitioning anywhere in the plan is the global-sort shape)
-        if (
-            "Window" in plan
-            and "hashpartitioning" not in plan
-            and name not in GLOBAL_WINDOW_ALLOWED
-        ):
-            hits.append(f"{name}: global window")
+        # 3. every window partitions by an entity key — checked per
+        # windowspecdefinition (an empty partition list), NOT by
+        # whole-plan hashpartitioning presence, which any unrelated
+        # exchange would mask
+        if name not in GLOBAL_WINDOW_ALLOWED:
+            for spec in global_window_specs(plan):
+                hits.append(f"{name}: global window [{spec}]")
     assert not hits, "plan antipatterns:\n  " + "\n  ".join(hits)
     # allowlists must stay live: each entry still exhibits its pattern
     for name, pat in PYTHON_EVAL_ALLOWED.items():
         assert pat in plans[name], f"stale allowlist: {name} lost {pat}"
     for name in GLOBAL_WINDOW_ALLOWED:
-        assert "Window" in plans[name], f"stale allowlist: {name}"
+        assert global_window_specs(plans[name]), (
+            f"stale allowlist: {name} no longer has a global window"
+        )
+
+
+def test_global_window_detector_fires(spark):
+    """The detector itself must catch a freshly built global window
+    (and not flag the properly partitioned twin) — guards against the
+    sweep silently going blind on an explain-format change."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("k"))
+
+    def plan(d):
+        return explain_simple(spark, d)
+
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id")))
+    # a decoy aggregation adds hashpartitioning to the bad plan — the
+    # naive whole-plan check this detector replaced would miss it
+    decoy = bad.join(df.groupBy("k").count(), "k")
+    assert global_window_specs(plan(bad))
+    assert global_window_specs(plan(decoy))
+    assert not global_window_specs(plan(good))

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from etl_finance_spark import registry
 
-from conftest import SF_CORRECT
+from conftest import SF_CORRECT, explain_simple
 
 SPECS = registry.collect()
 
@@ -21,12 +21,7 @@ def _formatted(spark, name: str) -> str:
 
 
 def _simple(spark, name: str) -> str:
-    df = SPECS[name].fn(spark, SF_CORRECT)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
-        )
-    )
+    return explain_simple(spark, SPECS[name].fn(spark, SF_CORRECT))
 
 
 def test_filter_pushdown_reaches_scan(spark):

@@ -187,8 +187,7 @@ def test_minhash_ladder_recovers_planted_dups_at_scale(spark):
         assert PLANTED * 0.95 <= n_cand <= PLANTED * 1.05 + 25, n_cand
         verified = minhash_lsh_pairs(docs, JACCARD_TAU, band_rows=4)
         got = {(r.d1, r.d2) for r in verified.collect()}
-        planted = {(float(i), float(i + half)) if False else (i, i + half)
-                   for i in range(PLANTED)}
+        planted = {(i, i + half) for i in range(PLANTED)}
         recall = len(got & planted) / PLANTED
         assert recall >= 0.98, f"planted-dup recall {recall:.3f}"
         # and nothing spurious: every verified pair is a planted one
