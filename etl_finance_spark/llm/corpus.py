@@ -132,24 +132,33 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: training docs sharing any word 5-gram
-    with a held-out eval set, with the shared-gram count as evidence
-    (the n-gram-overlap check run before every serious pretraining
-    corpus ships). The eval side's distinct grams are bounded (eval sets
-    are small by construction) and BROADCAST; the corpus side streams
-    its grams through the broadcast hash join and the per-doc count
-    partial-aggregates map-side — the corpus never shuffles on gram
-    text. Grams are distinct per doc on both sides, so count(*) is the
-    count of distinct shared grams: EXACT."""
+    """Eval-set decontamination over the fixture corpus: eval set =
+    doc_id < EVAL_CAP, training side = the rest. See
+    :func:`decontaminate` for the operator itself."""
+    docs = table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= EVAL_CAP),
+        docs.filter(F.col("doc_id") < EVAL_CAP),
+    )
+
+
+def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
+                  n: int = NGRAM_N) -> DataFrame:
+    """Training docs sharing any word n-gram with a held-out eval set,
+    with the shared-gram count as evidence — the n-gram-overlap check
+    run before every serious pretraining corpus ships. The eval side's
+    distinct grams are bounded (eval sets are small by construction)
+    and BROADCAST; the corpus side streams its grams through the
+    broadcast hash join and the per-doc count partial-aggregates
+    map-side — the corpus never shuffles on gram text. Grams are
+    distinct per doc on both sides, so count(*) is the count of
+    distinct shared grams: EXACT. Planted-contamination recovery at
+    50k docs is pinned in tests/test_scale_smoke.py."""
     from etl_finance_spark.llm.dedup import word_ngrams
 
-    docs = table(spark, sf_dir, "documents")
-    grams = word_ngrams(docs, n=NGRAM_N)
-    eval_g = (
-        grams.filter(F.col("doc_id") < EVAL_CAP).select("tok").distinct()
-    )
+    eval_g = word_ngrams(eval_docs, n=n).select("tok").distinct()
     return (
-        grams.filter(F.col("doc_id") >= EVAL_CAP)
+        word_ngrams(train_docs, n=n)
         .join(F.broadcast(eval_g), "tok")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_grams"))

@@ -140,9 +140,41 @@ def test_semdedup_pair_scan_bounded_per_cell(spark, big_corpus):
 
 N_DOCS = 50_000
 PLANTED = 500
+DOC_HALF = N_DOCS // 2
 
 
-def test_minhash_ladder_recovers_planted_dups_at_scale(spark):
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    """50k synthetic docs, 30 hash-random tokens each from a 50k
+    vocabulary; docs DOC_HALF..DOC_HALF+PLANTED-1 are near-duplicate
+    variants of docs 0..PLANTED-1 (positions 0-2 replaced, 27/30 tokens
+    shared — a 27-token contiguous run, so 23 shared word 5-grams)."""
+    df = spark.range(N_DOCS).select(F.col("id").cast("long").alias("doc_id"))
+    is_var = (F.col("doc_id") >= DOC_HALF) & (
+        F.col("doc_id") < DOC_HALF + PLANTED)
+    base = F.when(is_var, F.col("doc_id") - DOC_HALF).otherwise(
+        F.col("doc_id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.when(
+            is_var & (i < 3),
+            F.concat(F.lit("v"), F.pmod(
+                F.xxhash64(base * F.lit(100) + i + F.lit(7777)),
+                F.lit(50_000))),
+        ).otherwise(
+            F.concat(F.lit("t"), F.pmod(
+                F.xxhash64(base * F.lit(100) + i), F.lit(50_000)))
+        ),
+    )
+    docs = df.select(
+        "doc_id", F.concat_ws(" ", toks).alias("text")
+    ).persist()
+    docs.count()
+    yield docs
+    docs.unpersist()
+
+
+def test_minhash_ladder_recovers_planted_dups_at_scale(spark, doc_corpus):
     """Text-dedup ladder on a 50k-doc synthetic corpus (16x the sf0.1
     documents table) with 500 planted near-duplicate pairs (27/30
     tokens shared -> Jaccard 27/33 ~ 0.818 >= tau 0.8). Unrelated docs
@@ -160,40 +192,43 @@ def test_minhash_ladder_recovers_planted_dups_at_scale(spark):
         minhash_signatures,
     )
 
-    half = N_DOCS // 2
-    df = spark.range(N_DOCS).select(F.col("id").cast("long").alias("doc_id"))
-    is_var = (F.col("doc_id") >= half) & (F.col("doc_id") < half + PLANTED)
-    base = F.when(is_var, F.col("doc_id") - half).otherwise(F.col("doc_id"))
-    toks = F.transform(
-        F.sequence(F.lit(0), F.lit(29)),
-        lambda i: F.when(
-            is_var & (i < 3),
-            F.concat(F.lit("v"), F.pmod(
-                F.xxhash64(base * F.lit(100) + i + F.lit(7777)),
-                F.lit(50_000))),
-        ).otherwise(
-            F.concat(F.lit("t"), F.pmod(
-                F.xxhash64(base * F.lit(100) + i), F.lit(50_000)))
-        ),
+    docs = doc_corpus
+    n_cand = lsh_candidate_pairs(
+        minhash_signatures(docs), band_rows=4
+    ).count()
+    assert PLANTED * 0.95 <= n_cand <= PLANTED * 1.05 + 25, n_cand
+    verified = minhash_lsh_pairs(docs, JACCARD_TAU, band_rows=4)
+    got = {(r.d1, r.d2) for r in verified.collect()}
+    planted = {(i, i + DOC_HALF) for i in range(PLANTED)}
+    recall = len(got & planted) / PLANTED
+    assert recall >= 0.98, f"planted-dup recall {recall:.3f}"
+    # and nothing spurious: every verified pair is a planted one
+    assert got <= planted, got - planted
+
+
+def test_decontaminate_recovers_planted_contamination(spark, doc_corpus):
+    """Decontamination at 50k docs: eval set = the PLANTED base docs;
+    the flagged training docs must be EXACTLY their variants (each
+    shares a 27-token contiguous run -> 23 distinct word 5-grams),
+    and nothing else — random docs can only share a gram via a 5-token
+    sequence match, which the hash-random construction precludes. Pins
+    both precision (no false flags at 16x fixture scale: the broadcast
+    gram join generates no spurious overlap) and evidence counts."""
+    from etl_finance_spark.llm.corpus import decontaminate
+
+    eval_docs = doc_corpus.filter(F.col("doc_id") < PLANTED)
+    train = doc_corpus.filter(F.col("doc_id") >= PLANTED)
+    flagged = {r.doc_id: r.shared_grams
+               for r in decontaminate(train, eval_docs).collect()}
+    expect = set(range(DOC_HALF, DOC_HALF + PLANTED))
+    assert set(flagged) == expect, (
+        set(flagged) ^ expect or "exact match"
     )
-    docs = df.select(
-        "doc_id", F.concat_ws(" ", toks).alias("text")
-    ).persist()
-    docs.count()
-    try:
-        n_cand = lsh_candidate_pairs(
-            minhash_signatures(docs), band_rows=4
-        ).count()
-        assert PLANTED * 0.95 <= n_cand <= PLANTED * 1.05 + 25, n_cand
-        verified = minhash_lsh_pairs(docs, JACCARD_TAU, band_rows=4)
-        got = {(r.d1, r.d2) for r in verified.collect()}
-        planted = {(i, i + half) for i in range(PLANTED)}
-        recall = len(got & planted) / PLANTED
-        assert recall >= 0.98, f"planted-dup recall {recall:.3f}"
-        # and nothing spurious: every verified pair is a planted one
-        assert got <= planted, got - planted
-    finally:
-        docs.unpersist()
+    # evidence: 23 distinct shared 5-grams per variant (a rare in-doc
+    # token collision can only reduce the distinct count slightly)
+    assert all(20 <= v <= 23 for v in flagged.values()), (
+        sorted(set(flagged.values()))
+    )
 
 
 def test_connected_components_log_depth_on_deep_chain(spark):
