@@ -312,7 +312,7 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-LLM-4 exact rung: top-5 neighbors for the first 100 vectors."""
-    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    emb = _corpus_unit_vecs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY)
     return cosine_topk(emb, queries, TOP_K)
 
@@ -320,7 +320,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_ann_lsh_topk", oracle=None)  # WEAK: approximate by design
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-LLM-4 scale rung: bucketed ANN (recall-tested vs brute force)."""
-    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    emb = _corpus_unit_vecs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY)
     return ann_lsh_topk(emb, queries, TOP_K, queries_subset_of_vectors=True)
 
@@ -580,13 +580,46 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
 # frame (16 cells x 64 dims), so the memory held is a few KB per corpus.
 _IVF_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Session-scoped normalized-corpus memo (VERDICT r3 #6): the cast-to-
+# double + L2-norm projection of the embeddings table is the shared
+# input of EVERY similarity-family query (cosine/LSH/IVF/SemDeDup/
+# near-dup) — a vector store materializes its normalized corpus once,
+# not per search. One persisted frame per (applicationId, sf_dir);
+# MEMORY_AND_DISK (the persist default), so it is evictable and
+# spillable rather than pinned. Library functions (ann_*_topk,
+# semantic_dedup) still take plain DataFrames and persist defensively —
+# re-persisting an already-cached frame is a no-op — so callers outside
+# the declared queries are unaffected.
+_CORPUS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _evict_stale(memo: dict[tuple[str, str], DataFrame],
+                 app_id: str) -> None:
+    """Drop entries from dead sessions (test suites start/stop many);
+    their DataFrames are unusable anyway and would pin driver memory
+    for the life of the process."""
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+
+
+def _corpus_unit_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_CORPUS_MEMO, app_id)
+    key = (app_id, sf_dir)
+    df = _CORPUS_MEMO.get(key)
+    if df is None:
+        df = with_unit_vec(table(spark, sf_dir, "embeddings")).persist()
+        _CORPUS_MEMO[key] = df
+    return df
+
 
 def _corpus_ivf_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_IVF_INDEX_MEMO, app_id)
+    key = (app_id, sf_dir)
     model = _IVF_INDEX_MEMO.get(key)
     if model is None:
-        emb = with_unit_vec(table(spark, sf_dir, "embeddings")).persist()
-        model = ivf_centroids(emb)
+        model = ivf_centroids(_corpus_unit_vecs(spark, sf_dir))
         _IVF_INDEX_MEMO[key] = model
     return model
 
@@ -596,7 +629,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-LLM-4 second scale rung: IVF coarse-quantizer ANN (deterministic
     k-means cells, nprobe=2), recall-tested vs brute force alongside the
     sign-LSH rung. Reuses the session's amortized corpus index."""
-    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    emb = _corpus_unit_vecs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY)
     return ann_ivf_topk(emb, queries, TOP_K,
                         cent=_corpus_ivf_model(spark, sf_dir))
@@ -628,9 +661,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rung, distinct from top-k search): unordered pairs above a cosine
     threshold. Exact on a bounded candidate set; the LSH band machinery
     (ann_lsh_topk) is the uncapped path."""
-    emb = with_unit_vec(
-        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    )
+    emb = _corpus_unit_vecs(spark, sf_dir).filter(F.col("vec_id") < 300)
     a = emb.select(F.col("vec_id").alias("d1"), F.col("vec").alias("v1"),
                    F.col("nrm").alias("n1"))
     b = emb.select(F.col("vec_id").alias("d2"), F.col("vec").alias("v2"),
@@ -743,6 +774,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically redundant documents before training-data assembly.
     Reuses the session's amortized corpus index (same model as
     q_ann_ivf_topk — both are consumers of one IVF index build)."""
-    emb = with_unit_vec(table(spark, sf_dir, "embeddings"))
+    emb = _corpus_unit_vecs(spark, sf_dir)
     return semantic_dedup(emb, SEMDEDUP_TAU,
                           cent=_corpus_ivf_model(spark, sf_dir))
