@@ -53,7 +53,8 @@ def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
     complexity is sum over tokens of df(t)^2 — fine for rare tokens,
     quadratic for stopwords (which is why rung 3 exists).
     """
-    toks = doc_tokens(docs)
+    # three consumers (sizes + both join sides): tokenize once
+    toks = doc_tokens(docs).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     shared = (
@@ -108,7 +109,8 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float, n: int = 2) -> DataFrame:
     unigram rung but over word n-grams — order-sensitive, so it
     separates docs that share vocabulary but not phrasing (exactly what
     the tiny shared vocabulary of the fixtures defeats for unigrams)."""
-    toks = word_ngrams(docs, n)
+    # three consumers (sizes + both join sides): shingle once
+    toks = word_ngrams(docs, n).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     shared = (
@@ -205,7 +207,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float,
     — grows."""
     sigs = minhash_signatures(docs, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, band_rows)
-    toks = doc_tokens(docs)
+    # three consumers (sizes + both exact-verify sides): tokenize once
+    toks = doc_tokens(docs).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
     t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
@@ -402,7 +405,11 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
     joining on every token occurrence and joining on the rare tail —
     the inverted-index rung's hot tokens (stopwords) never generate
     candidates here because they sort to the END of the order."""
-    toks = doc_tokens(docs)
+    # the token relation feeds five consumers (sizes, document
+    # frequencies, the prefix pass, both exact-verify sides); persist
+    # so tokenization runs once — a PPJoin implementation materializes
+    # its tokenized relation, it doesn't re-tokenize per index pass
+    toks = doc_tokens(docs).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -414,6 +421,8 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
             F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
         )
         .select("doc_id", "tok")
+        .persist()  # both sides of the candidate self-join; unpersisted,
+        # the rarity-order window pass runs twice
     )
     a = prefix.select(F.col("doc_id").alias("d1"), "tok")
     b = prefix.select(F.col("doc_id").alias("d2"), "tok")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.memo import session_memo
 from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
 
@@ -593,35 +594,18 @@ _IVF_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
 _CORPUS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _evict_stale(memo: dict[tuple[str, str], DataFrame],
-                 app_id: str) -> None:
-    """Drop entries from dead sessions (test suites start/stop many);
-    their DataFrames are unusable anyway and would pin driver memory
-    for the life of the process."""
-    for k in [k for k in memo if k[0] != app_id]:
-        del memo[k]
-
-
 def _corpus_unit_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    _evict_stale(_CORPUS_MEMO, app_id)
-    key = (app_id, sf_dir)
-    df = _CORPUS_MEMO.get(key)
-    if df is None:
-        df = with_unit_vec(table(spark, sf_dir, "embeddings")).persist()
-        _CORPUS_MEMO[key] = df
-    return df
+    return session_memo(
+        _CORPUS_MEMO, spark, sf_dir,
+        lambda: with_unit_vec(table(spark, sf_dir, "embeddings")).persist(),
+    )
 
 
 def _corpus_ivf_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    _evict_stale(_IVF_INDEX_MEMO, app_id)
-    key = (app_id, sf_dir)
-    model = _IVF_INDEX_MEMO.get(key)
-    if model is None:
-        model = ivf_centroids(_corpus_unit_vecs(spark, sf_dir))
-        _IVF_INDEX_MEMO[key] = model
-    return model
+    return session_memo(
+        _IVF_INDEX_MEMO, spark, sf_dir,
+        lambda: ivf_centroids(_corpus_unit_vecs(spark, sf_dir)),
+    )
 
 
 @register("q_ann_ivf_topk", oracle=None)  # WEAK: approximate by design

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.memo import session_memo
 
 MIN_ORDERS = 2  # co-purchase edge threshold shared by all three consumers
 
@@ -37,9 +38,7 @@ _EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical thresholded co-purchase edges: (p1 < p2, n_orders)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    edges = _EDGE_MEMO.get(key)
-    if edges is None:
+    def build() -> DataFrame:
         items = (
             table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
@@ -49,7 +48,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("l_partkey").alias("p1"))
         b = items.select(F.col("l_orderkey").alias("k"),
                          F.col("l_partkey").alias("p2"))
-        edges = (
+        return (
             a.join(b, "k")
             .filter(F.col("p1") < F.col("p2"))
             .groupBy("p1", "p2")
@@ -57,5 +56,5 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_orders") >= MIN_ORDERS)
             .persist()
         )
-        _EDGE_MEMO[key] = edges
-    return edges
+
+    return session_memo(_EDGE_MEMO, spark, sf_dir, build)

@@ -335,3 +335,28 @@ def test_coverage_inventory_lists_every_declared_query():
         os.path.abspath(__file__))), "COVERAGE.md")).read()
     missing = sorted(q for q in registry.collect() if q not in cov)
     assert not missing, missing
+
+
+def test_session_memo_builds_once_and_evicts_dead_sessions(spark):
+    """session_memo (memo.py) backs the shared-build seams (co-purchase
+    edges, IVF model, normalized corpus): one build per (session, sf),
+    and entries from other (dead) applications are dropped on access so
+    long-lived processes don't pin unusable DataFrames."""
+    from etl_finance_spark.memo import session_memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    memo = {("dead-app", "/sf"): spark.range(1),
+            ("dead-app", "/sf2"): spark.range(1)}
+    a = session_memo(memo, spark, "/sf", build)
+    b = session_memo(memo, spark, "/sf", build)
+    assert a is b and len(calls) == 1
+    app = spark.sparkContext.applicationId
+    assert set(memo) == {(app, "/sf")}  # stale keys evicted
+    c = session_memo(memo, spark, "/other-sf", build)
+    assert c is not a and len(calls) == 2
+    assert set(memo) == {(app, "/sf"), (app, "/other-sf")}
