@@ -259,6 +259,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_backward(probes: DataFrame, quotes: DataFrame, keys: list[str],
+                  ts_col: str, id_col: str,
+                  payload_cols: list[str]) -> DataFrame:
+    """Fact-fact backward as-of join via the union trick: for each
+    probe row, attach the payload of the most recent quote
+    at-or-before its timestamp with the same key (quote at the exact
+    probe ts counts; same-ts quotes tie-break to the highest id).
+
+    Never joins: tag each side, union, forward-fill the quote payload
+    inside a (keys, ts, side, id)-ordered window, keep probe rows.
+    Cost = one shuffle-sort of probes+quotes on the key — linear in
+    input, the plan that survives two 100 TB fact streams (a
+    join+filter formulation fans out |quotes_k| x |probes_k| per key
+    first). Returns probes' (id, keys, ts) + one `<col>` per payload
+    column (null when no quote precedes)."""
+    qsel = quotes.select(
+        *keys, ts_col, F.lit(0).alias("side"), id_col,
+        *[F.col(c) for c in payload_cols],
+    )
+    psel = probes.select(
+        *keys, ts_col, F.lit(1).alias("side"), id_col,
+        *[F.lit(None).cast(quotes.schema[c].dataType).alias(c)
+          for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, "side", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = qsel.unionByName(psel).select(
+        *keys, ts_col, "side", id_col,
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in payload_cols],
+    )
+    return filled.filter(F.col("side") == 1).drop("side")
+
+
 @register(
     "q_join_asof_events",
     oracle="""
@@ -297,34 +334,24 @@ def q_join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     input — the plan that survives 100 TB of events on both sides.
     Ties: a click at the purchase's exact ts counts (side orders clicks
     first); among same-ts clicks the max event_id wins (window order
-    makes the pick deterministic on both engines)."""
+    makes the pick deterministic on both engines). The operator itself
+    is :func:`asof_backward` (property-tested against a brute-force
+    reference in tests/test_property.py)."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(0).alias("side"), "event_id",
+        "user_id", "ts", "event_id",
         F.col("event_id").alias("click_id"),
         F.col("value").alias("click_value"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(1).alias("side"), "event_id",
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("double").alias("click_value"),
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = clicks.unionByName(purchases).select(
-        "user_id", "ts", "side", "event_id",
-        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
-        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
-    )
-    return filled.filter(F.col("side") == 1).select(
+    return asof_backward(
+        purchases, clicks, ["user_id"], "ts", "event_id",
+        ["click_id", "click_value"],
+    ).select(
         F.col("event_id").alias("purchase_id"),
-        "user_id",
-        "ts",
-        F.col("last_click_id").alias("click_id"),
-        F.col("last_click_value").alias("click_value"),
+        "user_id", "ts", "click_id", "click_value",
     )

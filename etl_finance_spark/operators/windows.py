@@ -237,6 +237,21 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fill_forward(value, entity: str, order_cols: list[str]):
+    """LOCF column expression: the entity's last non-null observation
+    at-or-before each row in ``order_cols`` order (last ignore-nulls
+    over a per-entity running frame — one shuffle on the entity key,
+    no self-join). ``value`` is any Column; leading rows with no prior
+    observation stay null (callers coalesce their own default).
+    Property-tested against a Python reference in tests/test_property.py."""
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.last(value, ignorenulls=True).over(w)
+
+
 @register(
     "q_fill_forward",
     oracle="""
@@ -256,19 +271,15 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (LOCF): each null takes the entity's last non-null
     observation — the time-series imputation the reference's mean-fill
-    (R-NULL-1) should arguably have been. last(ignorenulls) over a
-    per-entity running frame; leading nulls flagged with -1."""
+    (R-NULL-1) should arguably have been. See :func:`fill_forward`;
+    leading nulls flagged with -1."""
     events = table(spark, sf_dir, "events")
     v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return events.select(
         "event_id",
         F.round(
-            F.coalesce(F.last(v, ignorenulls=True).over(w), F.lit(-1.0)), 6
+            F.coalesce(fill_forward(v, "user_id", ["ts", "event_id"]),
+                       F.lit(-1.0)), 6
         ).alias("v_filled"),
     )
 
@@ -464,43 +475,54 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of missing daily values per entity — the
-    time-series repair step past LOCF (q_fill_forward): a per-user day
-    spine left-joins the observed daily means, then two ignore-nulls
-    windows carry the bracketing known points and the gap is filled
-    proportionally. Boundary gaps fall back to nearest-known. All
-    windows partition by user — no global sort; the spine explode is
-    bounded by each user's active date range."""
+    time-series repair step past LOCF (q_fill_forward). See
+    :func:`interpolate_daily` for the operator itself."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.avg("value").alias("v"))
-    bounds = daily.groupBy("user_id").agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
+    return interpolate_daily(daily, "user_id", "day", "v")
+
+
+def interpolate_daily(daily: DataFrame, entity: str, day_col: str,
+                      value_col: str) -> DataFrame:
+    """Gap-filling linear interpolation over a per-entity daily series:
+    a day spine spanning each entity's [min, max] observed day
+    left-joins the observations, two ignore-nulls windows carry the
+    bracketing known points, and each gap day fills proportionally to
+    its distance between them. Boundary gaps fall back to
+    nearest-known. All windows partition by the entity — no global
+    sort; the spine explode is bounded by each entity's active date
+    range. Returns (entity, day, <value>_interp rounded 6dp).
+    Property-tested against a Python reference in tests/test_property.py."""
+    bounds = daily.groupBy(entity).agg(
+        F.min(day_col).alias("lo"), F.max(day_col).alias("hi")
     )
     spine = bounds.select(
-        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+        entity, F.explode(F.sequence("lo", "hi")).alias(day_col)
     )
-    j = spine.join(daily, ["user_id", "day"], "left")
+    j = spine.join(daily, [entity, day_col], "left")
     wp = (
-        Window.partitionBy("user_id").orderBy("day")
+        Window.partitionBy(entity).orderBy(day_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
-        Window.partitionBy("user_id").orderBy("day")
+        Window.partitionBy(entity).orderBy(day_col)
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    pv = F.last("v", ignorenulls=True).over(wp)
+    v = F.col(value_col)
+    known_day = F.when(v.isNotNull(), F.col(day_col))
+    pv = F.last(value_col, ignorenulls=True).over(wp)
     pd_ = F.last(known_day, ignorenulls=True).over(wp)
-    nv = F.first("v", ignorenulls=True).over(wn)
+    nv = F.first(value_col, ignorenulls=True).over(wn)
     nd = F.first(known_day, ignorenulls=True).over(wn)
-    frac = F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    frac = F.datediff(F.col(day_col), pd_) / F.datediff(nd, pd_)
     interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
+        F.when(v.isNotNull(), v)
         .when(pv.isNull(), nv)
         .when(nv.isNull(), pv)
         .otherwise(pv + (nv - pv) * frac)
     )
     return j.select(
-        "user_id", "day", F.round(interp, 6).alias("v_interp")
+        entity, day_col, F.round(interp, 6).alias(f"{value_col}_interp")
     )

@@ -280,9 +280,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (CDC between two table versions): full outer join
     on the key, classify added/removed/changed, drop unchanged. The two
     "versions" are deterministic transforms of orders so the query is
-    self-contained and oracle-checkable. At scale both snapshots are
-    bucketed by the key and the diff join is shuffle-free; prices
-    compare after 2dp rounding so the changed-set is float-stable."""
+    self-contained and oracle-checkable. The operator itself is
+    :func:`etl_finance_spark.operators.cdc.snapshot_diff`
+    (round-trip property-tested); prices compare after 2dp rounding so
+    the changed-set is float-stable."""
+    from etl_finance_spark.operators.cdc import snapshot_diff
+
     orders = table(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
@@ -295,25 +298,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("o_totalprice", 2))
         .alias("price"),
     )
-    a, b = old.alias("a"), new.alias("b")
-    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
-    return (
-        j.select(
-            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-                "o_orderkey"
-            ),
-            F.when(F.col("a.o_orderkey").isNull(), "added")
-            .when(F.col("b.o_orderkey").isNull(), "removed")
-            .otherwise("changed")
-            .alias("change_type"),
-            F.col("a.price").alias("old_price"),
-            F.col("b.price").alias("new_price"),
-        )
-        .filter(
-            F.col("change_type").isin("added", "removed")
-            | (F.col("old_price") != F.col("new_price"))
-        )
-    )
+    return snapshot_diff(old, new, "o_orderkey", "price")
 
 
 @register(
@@ -560,21 +545,17 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverse of q_snapshot_diff: applying the change set to the
     old snapshot reconstructs the new one exactly (the oracle IS the
-    new snapshot, computed directly). Removed/changed keys anti-join
-    out of old, then added/changed rows append — the standard
-    merge-apply a parquet-based CDC consumer runs per batch."""
+    new snapshot, computed directly — the round-trip contract of
+    :func:`etl_finance_spark.operators.cdc.snapshot_apply`, also
+    property-tested on random tables)."""
+    from etl_finance_spark.operators.cdc import snapshot_apply
+
     orders = table(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
     diff = q_snapshot_diff(spark, sf_dir)
-    drop_keys = diff.filter(
-        F.col("change_type").isin("removed", "changed")
-    ).select("o_orderkey")
-    upserts = diff.filter(
-        F.col("change_type").isin("added", "changed")
-    ).select("o_orderkey", F.col("new_price").alias("price"))
-    return old.join(drop_keys, "o_orderkey", "left_anti").unionByName(upserts)
+    return snapshot_apply(old, diff, "o_orderkey", "price")
 
 
 @register(

@@ -196,3 +196,189 @@ def test_mode_deterministic_under_repartition(pairs):
         }
 
     assert run(df) == run(df.repartition(7))
+
+
+# --- asof_backward (operators/joins.py) vs brute force ---------------------
+
+asof_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # entity
+        st.integers(min_value=0, max_value=20),  # ts (int order key)
+        st.booleans(),                           # True = probe, False = quote
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_strategy)
+def test_asof_backward_matches_bruteforce(rows):
+    """The union-trick as-of join must agree with the obvious O(n^2)
+    reference, including its tie rules: a quote at the probe's exact ts
+    counts, and among same-ts quotes the highest id wins."""
+    from etl_finance_spark.operators.joins import asof_backward
+
+    from pyspark.sql.types import DoubleType
+
+    spark = _get_spark()
+    quotes = [(e, ts, i, float(i)) for i, (e, ts, p) in enumerate(rows)
+              if not p]
+    probes = [(e, ts, i) for i, (e, ts, p) in enumerate(rows) if p]
+    schema_q = StructType([
+        StructField("ent", LongType()), StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+        StructField("qv", DoubleType()),
+    ])
+    schema_p = StructType([
+        StructField("ent", LongType()), StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+    ])
+    qdf = spark.createDataFrame(quotes, schema_q)
+    pdf = spark.createDataFrame(probes, schema_p)
+    got = {
+        r.event_id: r.qv
+        for r in asof_backward(pdf, qdf, ["ent"], "ts", "event_id",
+                               ["qv"]).collect()
+    }
+    want = {}
+    for e, ts, i in probes:
+        elig = [(qts, qi, qv) for qe, qts, qi, qv in quotes
+                if qe == e and qts <= ts]
+        want[i] = max(elig)[2] if elig else None
+    assert got == want
+
+
+# --- fill_forward (operators/windows.py) vs Python LOCF --------------------
+
+locf_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # entity
+        st.one_of(st.none(), st.integers(0, 9)),          # value or null
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(locf_strategy)
+def test_fill_forward_matches_locf_reference(rows):
+    from etl_finance_spark.operators.windows import fill_forward
+
+    spark = _get_spark()
+    data = [(e, i, None if v is None else float(v))
+            for i, (e, v) in enumerate(rows)]
+    from pyspark.sql.types import DoubleType
+
+    df = spark.createDataFrame(data, StructType([
+        StructField("ent", LongType()), StructField("seq", LongType()),
+        StructField("v", DoubleType()),
+    ]))
+    got = {
+        r.seq: r.f
+        for r in df.select(
+            "seq", fill_forward(F.col("v"), "ent", ["seq"]).alias("f")
+        ).collect()
+    }
+    last = {}
+    want = {}
+    for e, i, v in data:
+        if v is not None:
+            last[e] = v
+        want[i] = last.get(e)
+    assert got == want
+
+
+# --- interpolate_daily (operators/windows.py) vs Python reference ----------
+
+interp_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),    # entity
+        st.integers(min_value=0, max_value=12),   # day offset
+        st.integers(min_value=-5, max_value=5),   # value
+    ),
+    min_size=1, max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(interp_strategy)
+def test_interpolate_daily_matches_reference(rows):
+    """Gap days fill linearly between bracketing observations; boundary
+    gaps (none exist by construction: the spine spans observed min..max,
+    whose endpoints are observed) and observed days pass through."""
+    from etl_finance_spark.operators.windows import interpolate_daily
+
+    spark = _get_spark()
+    base = dt.date(2024, 1, 1)
+    from pyspark.sql.types import DateType, DoubleType
+
+    daily = spark.createDataFrame(
+        [(e, base + dt.timedelta(days=d), float(v)) for e, d, v in rows],
+        StructType([StructField("ent", LongType()),
+                    StructField("day", DateType()),
+                    StructField("v", DoubleType())]),
+    )
+    got = {
+        (r.ent, r.day): r.v_interp
+        for r in interpolate_daily(daily, "ent", "day", "v").collect()
+    }
+    by_ent = {}
+    for e, d, v in rows:
+        by_ent.setdefault(e, {})[d] = float(v)
+    want = {}
+    for e, obs in by_ent.items():
+        lo, hi = min(obs), max(obs)
+        for d in range(lo, hi + 1):
+            if d in obs:
+                want[(e, base + dt.timedelta(days=d))] = obs[d]
+            else:
+                p = max(k for k in obs if k < d)
+                n = min(k for k in obs if k > d)
+                want[(e, base + dt.timedelta(days=d))] = (
+                    obs[p] + (obs[n] - obs[p]) * (d - p) / (n - p)
+                )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6, (k, got[k], want[k])
+
+
+# --- snapshot_diff / snapshot_apply (operators/cdc.py) round trip ----------
+
+snap_strategy = st.tuples(
+    st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=12),
+    st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=12),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(snap_strategy)
+def test_snapshot_diff_apply_round_trip(snaps):
+    """apply(old, diff(old, new)) == new for arbitrary keyed snapshots,
+    and the diff contains exactly the keys that differ."""
+    from pyspark.sql.types import DoubleType
+
+    from etl_finance_spark.operators.cdc import snapshot_apply, snapshot_diff
+
+    spark = _get_spark()
+    old_d, new_d = snaps
+    schema = StructType([StructField("k", LongType()),
+                         StructField("v", DoubleType())])
+    old = spark.createDataFrame(
+        [(k, float(v)) for k, v in old_d.items()], schema)
+    new = spark.createDataFrame(
+        [(k, float(v)) for k, v in new_d.items()], schema)
+    diff = snapshot_diff(old, new, "k", "v").persist()
+    want_diff = {
+        k: ("added" if k not in old_d else
+            "removed" if k not in new_d else "changed")
+        for k in set(old_d) | set(new_d)
+        if old_d.get(k) != new_d.get(k)
+    }
+    assert {r.k: r.change_type for r in diff.collect()} == want_diff
+    rebuilt = {r.k: r.v for r in snapshot_apply(old, diff, "k", "v").collect()}
+    assert rebuilt == {k: float(v) for k, v in new_d.items()}
