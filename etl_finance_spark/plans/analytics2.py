@@ -93,47 +93,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-mass term is needed (every node has out-degree >= 1).
     Reads the session's shared co-purchase graph build (plans/graph.py,
     threshold MIN_ORDERS == PR_MIN_ORDERS) — one materialization serves
-    this, q_copurchase_pairs and q_triangle_count."""
+    this, q_copurchase_pairs and q_triangle_count. The algorithm itself
+    is :func:`etl_finance_spark.operators.graphs.pagerank`
+    (property-tested against a Python power-iteration reference)."""
+    from etl_finance_spark.operators.graphs import pagerank
     from etl_finance_spark.plans.graph import copurchase_edges
 
     edges = copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
         edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
-    # fold 1/out-degree into the edge weight at build time: one window
-    # over src (already the per-pass join key, so the shuffle is shared)
-    # replaces a per-pass degree join + degree-table broadcast
-    sym = sym.withColumn(
-        "w",
-        F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
-    ).localCheckpoint()
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    # teleport base: every node with (1 - d)/n already applied — the
-    # per-pass left join adds only the damped neighbor mass
-    base = nodes.crossJoin(F.broadcast(nn)).select(
-        "node",
-        (F.lit(1.0) / F.col("n")).alias("pr0"),
-        ((1 - PR_DAMP) / F.col("n")).alias("teleport"),
-    ).localCheckpoint()
-    pr = base.select("node", F.col("pr0").alias("pr"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            sym.join(pr.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
-        )
-        pr = (
-            base.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("teleport")
-                    + PR_DAMP * F.coalesce("contrib", F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint()
-        )
+    pr = pagerank(sym, PR_DAMP, PR_ITERS)
     return pr.select("node", F.round("pr", 9).alias("pagerank"))
 
 

@@ -382,3 +382,47 @@ def test_snapshot_diff_apply_round_trip(snaps):
     assert {r.k: r.change_type for r in diff.collect()} == want_diff
     rebuilt = {r.k: r.v for r in snapshot_apply(old, diff, "k", "v").collect()}
     assert rebuilt == {k: float(v) for k, v in new_d.items()}
+
+
+# --- pagerank (operators/graphs.py) vs Python power iteration --------------
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+        lambda t: t[0] != t[1]),
+    min_size=1, max_size=12,
+    unique_by=lambda t: (min(t), max(t)),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(graph_strategy)
+def test_pagerank_matches_power_iteration(pairs):
+    """The distributed PageRank (degree folded into edge weights,
+    checkpointed passes) must match a sequential power iteration on
+    the same symmetrized graph, iteration for iteration."""
+    from etl_finance_spark.operators.graphs import pagerank
+
+    spark = _get_spark()
+    damp, iters = 0.85, 3
+    sym_pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    sym = [(a, b) for a, b in sym_pairs] + [(b, a) for a, b in sym_pairs]
+    df = spark.createDataFrame(sym, StructType([
+        StructField("src", LongType()), StructField("dst", LongType())]))
+    got = {r.node: r.pr for r in pagerank(df, damp, iters).collect()}
+    out = {}
+    for a, b in sym:
+        out.setdefault(a, []).append(b)
+    nodes = sorted(out)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for src, dsts in out.items():
+            w = pr[src] / len(dsts)
+            for d in dsts:
+                contrib[d] += w
+        pr = {v: (1 - damp) / n + damp * contrib[v] for v in nodes}
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) <= 1e-9, (v, got[v], pr[v])
