@@ -138,8 +138,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     groupBy(doc_id) exchange of every token in the corpus (the round-3
     shape; the min values are identical since both fold the same
     distinct token set). Hash-op count is unchanged at
-    n_hashes × |tokens|; only the token shuffle disappears."""
-    arr = docs.select(
+    n_hashes × |tokens|; only the token shuffle disappears.
+
+    Null-text docs are dropped up front (no token set → no signature),
+    matching the round-3 explode shape where they produced no rows.
+    Without the filter they'd emit all-NULL signatures whose band
+    hashes all agree — k null docs would meet as k(k-1)/2 candidate
+    pairs in every band, the exact quadratic blowup LSH exists to
+    avoid."""
+    arr = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
 
@@ -249,8 +256,12 @@ def simhash(docs: DataFrame, n_bits: int = 63) -> DataFrame:
     and inlines the hs expression into the per-bit fold lambda — the
     token hashing then re-executes once PER BIT (63x; measured 3.6s vs
     1.1s at sf0.1 under the noop sink). The Generate stays map-side
-    (row multiplier 1) and costs nothing."""
-    agg = docs.select(
+    (row multiplier 1) and costs nothing.
+
+    Null-text docs are dropped up front (same contract as
+    minhash_signatures: no token set → no fingerprint; the round-3
+    explode shape never emitted rows for them either)."""
+    agg = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split("text", " ")),

@@ -38,7 +38,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
         )
         .filter(
             F.col("change_type").isin("added", "removed")
-            | (F.col(f"old_{val}") != F.col(f"new_{val}"))
+            # null-safe: value changes to/from NULL are real changes;
+            # plain != evaluates to NULL there and would drop the row,
+            # silently breaking the apply∘diff == new round trip
+            | ~(F.col(f"old_{val}").eqNullSafe(F.col(f"new_{val}")))
         )
     )
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
@@ -273,15 +274,24 @@ def asof_backward(probes: DataFrame, quotes: DataFrame, keys: list[str],
     input, the plan that survives two 100 TB fact streams (a
     join+filter formulation fans out |quotes_k| x |probes_k| per key
     first). Returns probes' (id, keys, ts) + one `<col>` per payload
-    column (null when no quote precedes)."""
+    column (null when no quote precedes).
+
+    The payload forward-fills as ONE struct, not per column: a quote
+    row's struct is non-null even when its individual payload values
+    are NULL, so every probe sees the whole payload of the single most
+    recent quote. Per-column last(ignorenulls) would skip a NULL field
+    backwards to an older quote, stitching a row that no quote ever
+    contained (torn read)."""
+    pay_t = StructType(
+        [StructField(c, quotes.schema[c].dataType) for c in payload_cols]
+    )
     qsel = quotes.select(
         *keys, ts_col, F.lit(0).alias("side"), id_col,
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_pay"),
     )
     psel = probes.select(
         *keys, ts_col, F.lit(1).alias("side"), id_col,
-        *[F.lit(None).cast(quotes.schema[c].dataType).alias(c)
-          for c in payload_cols],
+        F.lit(None).cast(pay_t).alias("_pay"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -290,10 +300,12 @@ def asof_backward(probes: DataFrame, quotes: DataFrame, keys: list[str],
     )
     filled = qsel.unionByName(psel).select(
         *keys, ts_col, "side", id_col,
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in payload_cols],
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
     )
-    return filled.filter(F.col("side") == 1).drop("side")
+    return filled.filter(F.col("side") == 1).select(
+        *keys, ts_col, id_col,
+        *[F.col("_pay").getField(c).alias(c) for c in payload_cols],
+    )
 
 
 @register(
@@ -301,23 +313,22 @@ def asof_backward(probes: DataFrame, quotes: DataFrame, keys: list[str],
     oracle="""
     WITH u AS (
         SELECT user_id, ts, 0 AS side, event_id,
-               event_id AS click_id, value AS click_value
+               struct_pack(cid := event_id, cv := value) AS pay
         FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT user_id, ts, 1 AS side, event_id,
-               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+               CAST(NULL AS STRUCT(cid BIGINT, cv DOUBLE))
         FROM events WHERE event_type = 'purchase'
     ), f AS (
         SELECT user_id, ts, side, event_id,
-               last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
-               last_value(click_value IGNORE NULLS) OVER w AS last_click_value
+               last_value(pay IGNORE NULLS) OVER w AS pay
         FROM u
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_id AS purchase_id, user_id,
            date_trunc('microseconds', ts) AS ts,
-           last_click_id AS click_id, last_click_value AS click_value
+           pay.cid AS click_id, pay.cv AS click_value
     FROM f WHERE side = 1
     """,
 )
@@ -328,8 +339,10 @@ def q_join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dimension-like, but here BOTH sides are fact streams — the
     join+filter formulation fans out to |clicks_u| x |purchases_u| rows
     per user before aggregating. The union trick never joins at all:
-    tag each side, union, and fill the click id/value forward within a
-    (user, ts, side, event_id)-ordered window, then keep purchase rows.
+    tag each side, union, and fill the click payload forward (as one
+    struct — id and value always travel together, see asof_backward)
+    within a (user, ts, side, event_id)-ordered window, then keep
+    purchase rows.
     Cost = ONE shuffle-sort of clicks+purchases on user_id, linear in
     input — the plan that survives 100 TB of events on both sides.
     Ties: a click at the purchase's exact ts counts (side orders clicks

@@ -273,7 +273,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            new.price AS new_price
     FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
     WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
-          OR old.price <> new.price
+          OR old.price IS DISTINCT FROM new.price
     """,
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,7 +74,7 @@ _QUERY_MODULES = (
 #   1 flagship, the once-red q_bool_aggs (historical fix stays
 #   driver-watched), the three r03-green queries whose PLANS changed
 #   this round (broadcast-hint sweep: regional_revenue, revenue_topk,
-#   large_orders — fix-recheck doubles as family sentinel), then 44
+#   large_orders — fix-recheck doubles as family sentinel), then 45
 #   never-driver-checked queries: the twice-slipped raw-scan pair
 #   (top-10 this time, per VERDICT r3 #1), the thrice-deferred
 #   functions.families scalars (14), the TPC-H sweep (17 — includes
@@ -148,13 +148,14 @@ _DRIVER_WINDOW = (
 )
 
 # Round-5 rotation backlog (never driver-checked after the r04 window,
-# 36 left): plans.finance (12 indicators), plans.analytics3 (sessionize,
+# 35 left — recount: 214 total − 134 green through r03 − 45 new in this
+# window): plans.finance (11 indicators), plans.analytics3 (sessionize,
 # scd2, dq, triangles, ewma), analytics2 remainder (q_event_transitions,
 # q_ohlc_daily_reagg), corpus remainder (q_domain_mix, q_source_cap,
 # q_pii_redact, q_chunk_windows, q_corpus_stats, q_array_agg_distinct +
 # WEAK q_semantic_dedup), aggregates tier 3 (q_bitmap_distinct,
 # q_mode_by_group, q_moments, q_regr_ols), q_explode_outer,
-# q_embed_standardize, and the 4 WEAK sketches (rows-only). 36 + flagship
+# q_embed_standardize, and the 4 WEAK sketches (rows-only). 35 + flagship
 # + sentinels fits ONE final window — full driver coverage closes in r05.
 
 

@@ -117,15 +117,22 @@ def compact_partitions(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (same filesystem); if the second rename fails the
-    # original directory is restored, so readers never see `path` absent
-    bak = path.rstrip("/") + "__old"
-    _os.rename(path, bak)
-    try:
-        _os.rename(tmp, path)
-    except BaseException:
-        _os.rename(bak, path)
-        raise
+    # atomic-ish swap (same filesystem); if either rename fails the
+    # original directory is restored (readers never see `path` absent)
+    # and the freshly written __compact copy is removed — a failed swap
+    # must not strand a full second copy of the dataset on disk
     import shutil as _shutil
+
+    bak = path.rstrip("/") + "__old"
+    try:
+        _os.rename(path, bak)
+        try:
+            _os.rename(tmp, path)
+        except BaseException:
+            _os.rename(bak, path)
+            raise
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
     _shutil.rmtree(bak)
     return before

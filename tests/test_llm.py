@@ -123,6 +123,30 @@ def test_word_ngrams_degenerate_docs(spark):
     }
 
 
+def test_null_text_docs_get_no_signatures(spark):
+    """Null-text docs must be absent from MinHash/SimHash signatures
+    and from the LSH candidate stream. Without the up-front filter
+    they'd carry all-NULL signatures whose band hashes all collide —
+    k null docs meet as k(k-1)/2 candidates in every band, the exact
+    quadratic blowup the banding exists to prevent."""
+    from etl_finance_spark.llm.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, None), (4, None), (5, "a b d")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {1, 5}
+    assert sigs.filter(F.col("mh0").isNull()).count() == 0
+    cand = lsh_candidate_pairs(sigs, band_rows=4)
+    got = {(r.d1, r.d2) for r in cand.select("d1", "d2").collect()}
+    assert all(d in (1, 5) for pair in got for d in pair)
+    assert {r.doc_id for r in simhash(docs).select("doc_id").collect()} \
+        == {1, 5}
+
+
 def test_ivf_recall_and_determinism(spark):
     from etl_finance_spark.llm.similarity import ann_ivf_topk, ivf_centroids
 

@@ -494,9 +494,7 @@ def test_signature_passes_are_zero_shuffle(spark):
     emb = with_unit_vec(table(spark, SF_CORRECT, "embeddings"))
 
     def plan_of(df):
-        return df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"))
+        return explain_simple(spark, df)
 
     for name, df in (
         ("minhash", minhash_signatures(docs)),

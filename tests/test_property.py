@@ -216,19 +216,22 @@ asof_strategy = st.lists(
 def test_asof_backward_matches_bruteforce(rows):
     """The union-trick as-of join must agree with the obvious O(n^2)
     reference, including its tie rules: a quote at the probe's exact ts
-    counts, and among same-ts quotes the highest id wins."""
+    counts, and among same-ts quotes the highest id wins. Payload
+    columns may be NULL — the probe must still get the WHOLE payload of
+    the single most recent quote (a NULL field stays NULL, never
+    stitched from an older quote's value: no torn rows)."""
     from etl_finance_spark.operators.joins import asof_backward
 
     from pyspark.sql.types import DoubleType
 
     spark = _get_spark()
-    quotes = [(e, ts, i, float(i)) for i, (e, ts, p) in enumerate(rows)
-              if not p]
+    quotes = [(e, ts, i, None if i % 3 == 0 else float(i), float(2 * i))
+              for i, (e, ts, p) in enumerate(rows) if not p]
     probes = [(e, ts, i) for i, (e, ts, p) in enumerate(rows) if p]
     schema_q = StructType([
         StructField("ent", LongType()), StructField("ts", LongType()),
         StructField("event_id", LongType()),
-        StructField("qv", DoubleType()),
+        StructField("qv", DoubleType()), StructField("qw", DoubleType()),
     ])
     schema_p = StructType([
         StructField("ent", LongType()), StructField("ts", LongType()),
@@ -237,15 +240,19 @@ def test_asof_backward_matches_bruteforce(rows):
     qdf = spark.createDataFrame(quotes, schema_q)
     pdf = spark.createDataFrame(probes, schema_p)
     got = {
-        r.event_id: r.qv
+        r.event_id: (r.qv, r.qw)
         for r in asof_backward(pdf, qdf, ["ent"], "ts", "event_id",
-                               ["qv"]).collect()
+                               ["qv", "qw"]).collect()
     }
     want = {}
     for e, ts, i in probes:
-        elig = [(qts, qi, qv) for qe, qts, qi, qv in quotes
+        elig = [(qts, qi, qv, qw) for qe, qts, qi, qv, qw in quotes
                 if qe == e and qts <= ts]
-        want[i] = max(elig)[2] if elig else None
+        if elig:
+            _, _, qv, qw = max(elig, key=lambda t: t[:2])
+            want[i] = (qv, qw)
+        else:
+            want[i] = (None, None)
     assert got == want
 
 
@@ -348,9 +355,10 @@ def test_interpolate_daily_matches_reference(rows):
 
 # --- snapshot_diff / snapshot_apply (operators/cdc.py) round trip ----------
 
+_snap_val = st.one_of(st.none(), st.integers(0, 5))
 snap_strategy = st.tuples(
-    st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=12),
-    st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=12),
+    st.dictionaries(st.integers(0, 15), _snap_val, max_size=12),
+    st.dictionaries(st.integers(0, 15), _snap_val, max_size=12),
 )
 
 
@@ -358,30 +366,36 @@ snap_strategy = st.tuples(
           suppress_health_check=[HealthCheck.too_slow])
 @given(snap_strategy)
 def test_snapshot_diff_apply_round_trip(snaps):
-    """apply(old, diff(old, new)) == new for arbitrary keyed snapshots,
-    and the diff contains exactly the keys that differ."""
+    """apply(old, diff(old, new)) == new for arbitrary keyed snapshots
+    (values may be NULL — a change to or from NULL is a real change;
+    the operator's comparison must be null-safe), and the diff contains
+    exactly the keys that differ."""
     from pyspark.sql.types import DoubleType
 
     from etl_finance_spark.operators.cdc import snapshot_apply, snapshot_diff
 
     spark = _get_spark()
     old_d, new_d = snaps
+    as_f = lambda v: None if v is None else float(v)  # noqa: E731
     schema = StructType([StructField("k", LongType()),
                          StructField("v", DoubleType())])
     old = spark.createDataFrame(
-        [(k, float(v)) for k, v in old_d.items()], schema)
+        [(k, as_f(v)) for k, v in old_d.items()], schema)
     new = spark.createDataFrame(
-        [(k, float(v)) for k, v in new_d.items()], schema)
+        [(k, as_f(v)) for k, v in new_d.items()], schema)
     diff = snapshot_diff(old, new, "k", "v").persist()
+    # Python's != is already null-safe in the SQL sense here: None
+    # stands for NULL, None != None is False (unchanged), None != 3
+    # is True (changed) — exactly IS DISTINCT FROM.
     want_diff = {
         k: ("added" if k not in old_d else
             "removed" if k not in new_d else "changed")
         for k in set(old_d) | set(new_d)
-        if old_d.get(k) != new_d.get(k)
+        if k not in old_d or k not in new_d or old_d[k] != new_d[k]
     }
     assert {r.k: r.change_type for r in diff.collect()} == want_diff
     rebuilt = {r.k: r.v for r in snapshot_apply(old, diff, "k", "v").collect()}
-    assert rebuilt == {k: float(v) for k, v in new_d.items()}
+    assert rebuilt == {k: as_f(v) for k, v in new_d.items()}
 
 
 # --- pagerank (operators/graphs.py) vs Python power iteration --------------

@@ -309,6 +309,11 @@ class TestLakeLayout:
         assert os.path.isdir(path)
         got = {tuple(r) for r in spark.read.parquet(path).collect()}
         assert got == want
+        # the failed swap must not strand a second copy of the dataset:
+        # both the freshly written __compact dir and the __old backup
+        # are gone (ADVICE r4 follow-up)
+        assert not os.path.exists(path + "__compact")
+        assert not os.path.exists(path + "__old")
 
     def test_merge_schema_evolution(self, spark, tmp_path):
         """Appends with a widened schema read back as one frame under
