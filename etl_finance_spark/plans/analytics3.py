@@ -31,7 +31,7 @@ EWMA_ALPHA = 0.3
                    AS sec
         FROM events
     ), marked AS (
-        SELECT user_id, sec,
+        SELECT user_id, event_id, sec,
                CASE WHEN sec - lag(sec) OVER w IS NULL
                          OR sec - lag(sec) OVER w > {SESSION_GAP_S}
                     THEN 1 ELSE 0 END AS new_session
@@ -39,7 +39,7 @@ EWMA_ALPHA = 0.3
     ), numbered AS (
         SELECT user_id, sec,
                CAST(sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY sec
+                   PARTITION BY user_id ORDER BY sec, event_id
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM marked
     )
@@ -58,7 +58,10 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just time gaps. Both windows and the final groupBy share ONE
     hashpartitioning(user_id) exchange; nothing global. Gap math in
     whole epoch seconds (the q_interarrival pattern) so both engines
-    compare identical integers."""
+    compare identical integers. Every window — the lag AND the running
+    sum — carries the event_id tiebreak: same-second events otherwise
+    split or merge sessions depending on engine-internal tie order
+    (observed live at sf0.1, user 1061)."""
     ev = table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts")
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
@@ -72,7 +75,7 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("sec")
+        .orderBy("sec", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = marked.select(
@@ -96,14 +99,14 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS sec
         FROM events
     ), marked AS (
-        SELECT user_id, event_type, sec,
+        SELECT user_id, event_id, event_type, sec,
                CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                     THEN 1 ELSE 0 END AS chg
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ), versioned AS (
         SELECT user_id, event_type, sec,
                CAST(sum(chg) OVER (
-                   PARTITION BY user_id ORDER BY sec
+                   PARTITION BY user_id ORDER BY sec, event_id
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
         FROM marked
     ), spans AS (
@@ -130,7 +133,11 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection is the same islands trick as sessionization (lag-compare
     -> running sum); the span rollup and the lead() that closes each
     span reuse the identical user_id partitioning, so the whole build
-    rides one exchange of the fact."""
+    rides one exchange of the fact. The running-sum window carries the
+    event_id tiebreak (same-second change rows otherwise get versions
+    in engine-internal tie order), and the change flag is null-safe
+    (~eqNullSafe == IS DISTINCT FROM) so a NULL attribute value opens
+    its own version on both engines."""
     ev = table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts")
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
@@ -139,13 +146,11 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", sec.alias("sec")
     ).withColumn(
         "chg",
-        F.when(
-            prev.isNull() | (prev != F.col("event_type")), 1
-        ).otherwise(0),
+        F.when(~prev.eqNullSafe(F.col("event_type")), 1).otherwise(0),
     )
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("sec")
+        .orderBy("sec", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     versioned = marked.select(
@@ -182,7 +187,9 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
     UNION ALL
     SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
     SELECT 'lineitem_dup_linekeys', CAST(coalesce(sum(extra), 0) AS BIGINT)
     FROM (
