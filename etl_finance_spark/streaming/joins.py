@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 
 def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str = "user_id") -> DataFrame:
-    """Stream-static join: per-batch hash join against the (broadcast)
-    dimension; null-extending (left) so unknown entities survive."""
-    return events.join(F.broadcast(dim), on, "left")
+    """Stream-static join: per-batch hash join against the dimension;
+    null-extending (left) so unknown entities survive. No forced
+    broadcast hint — a user-profile dim grows with the user base, so
+    at 100 TB a pinned hint is a broadcast-OOM (the same class as the
+    swept composite/TPC-H hints); Spark still picks broadcast per
+    micro-batch whenever the dim's measured size is under
+    autoBroadcastJoinThreshold, and a caller with a known-bounded dim
+    can pass ``F.broadcast(dim)`` explicitly."""
+    return events.join(dim, on, "left")
 
 
 def followed_within(first: DataFrame, second: DataFrame,
