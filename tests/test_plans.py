@@ -134,6 +134,22 @@ def test_stream_pair_join_is_equi_join(spark):
         "BroadcastHashJoin" in plan
 
 
+def test_stream_static_enrich_has_no_broadcast_hint(spark):
+    """enrich_with_dim joins a user-profile dimension that grows with
+    the user base — the library must not pin a broadcast via hint (the
+    swept sf-proportional class). AQE may still broadcast per batch
+    from measured sizes; a static hint is not allowed."""
+    from etl_finance_spark.catalog import table
+    from etl_finance_spark.streaming.joins import enrich_with_dim
+
+    ev = table(spark, SF_CORRECT, "events")
+    dim = (ev.groupBy("user_id")
+           .count().withColumnRenamed("count", "n_events"))
+    logical = (enrich_with_dim(ev, dim)._jdf.queryExecution()
+               .optimizedPlan().toString())
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+
+
 def test_split_and_sample_are_map_side_only(spark):
     """Content-hash split/sample must not shuffle: no Exchange at all."""
     for name in ("q_split_deterministic", "q_stratified_sample"):
