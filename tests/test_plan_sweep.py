@@ -34,6 +34,35 @@ PYTHON_EVAL_ALLOWED = {
 # capped (constant-size) slice — documented in operators/windows.py.
 GLOBAL_WINDOW_ALLOWED = {"q_win_ntile"}
 
+# Broadcast-HINT discipline, inventory-wide (extends test_plans.
+# test_no_forced_broadcast_on_unbounded_sides from the 18 hint-swept
+# queries to every declared query): a static F.broadcast() may only pin
+# a build whose size is independent of corpus scale. The boundedness
+# heuristic (_is_bounded_build) proves <=1-row global aggregates and
+# region/nation-leaf dims; every other hinted side must be named here
+# with the reason its cardinality is scale-free.
+BROADCAST_HINT_ALLOWED = {
+    "q_join_broadcast": "the hint IS the declared operator (X-JOIN-2)",
+    "q_cosine_topk": "query side literal-capped at vec_id < N_QUERY (100)",
+    "q_ann_lsh_topk": "query side literal-capped at vec_id < N_QUERY (100)",
+    "q_ann_ivf_topk": "N_QUERY-capped query side + 1-row packed quantizer",
+    "q_semantic_dedup": "1-row packed quantizer model (checkpointed)",
+    "q_beta": "market return series: one row per calendar day, not per sf",
+    "q_correlated_scalar": "per-nation averages: <=25 rows (nation enum)",
+    "q_mad_outliers": "per-event-type median/MAD: bounded by the type enum",
+    "q_decontaminate": "eval-suite 5-grams: sized by the benchmark, not sf",
+    "q_embed_standardize": "per-dimension stats: exactly DIM (64) rows",
+}
+# The quantizer-model sides read differently depending on session memo
+# state: un-materialized, the checkpoint lineage still shows its global
+# aggregate (provably bounded); materialized, it is an opaque
+# LogicalRDD the heuristic cannot size. So these entries may or may not
+# surface as unbounded in a given session — exempt from the two-way
+# staleness assertion only.
+BROADCAST_HINT_STATE_DEPENDENT = {
+    "q_ann_ivf_topk", "q_semantic_dedup", "q_ann_lsh_topk",
+}
+
 _WSPEC = re.compile(r"windowspecdefinition\(")
 
 
@@ -111,6 +140,37 @@ def test_no_plan_antipatterns_anywhere(spark):
     for name in GLOBAL_WINDOW_ALLOWED:
         assert global_window_specs(plans[name]), (
             f"stale allowlist: {name} no longer has a global window"
+        )
+
+
+def test_no_unbounded_broadcast_hints_anywhere(spark):
+    """Every broadcast HINT in every declared query pins a scale-free
+    build — provably bounded by plan shape, or allowlisted above with
+    the reason. Stats/AQE-chosen broadcasts never carry the hint, so
+    they are out of scope by construction (that is the point: at an
+    unknown scale the optimizer must stay free to choose)."""
+    import test_plans as TP
+
+    flagged: dict[str, int] = {}
+    for name in sorted(SPECS):
+        df = SPECS[name].fn(spark, SF_CORRECT)
+        bad = [s for s in TP._broadcast_hinted_sides(df)
+               if not TP._is_bounded_build(s)]
+        if bad:
+            flagged[name] = len(bad)
+    rogue = set(flagged) - set(BROADCAST_HINT_ALLOWED)
+    assert not rogue, (
+        "broadcast hint on a build the boundedness heuristic cannot "
+        f"prove scale-free and no allowlist reason covers: {sorted(rogue)}"
+    )
+    # two-way: a deterministic allowlist entry that stops exhibiting an
+    # unbounded-looking hinted side has rotted — remove it
+    for name in BROADCAST_HINT_ALLOWED:
+        if name in BROADCAST_HINT_STATE_DEPENDENT:
+            continue
+        assert name in flagged, (
+            f"stale allowlist: {name} no longer hints an "
+            "unbounded-looking build"
         )
 
 
