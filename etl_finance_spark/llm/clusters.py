@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.lineage import cut_lineage
 from etl_finance_spark.registry import register
 
 
@@ -40,19 +41,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Lineage management is the non-obvious scale requirement: the label
     frame feeds the next iteration several times, so the unchecked plan
     doubles per pass and optimizer time explodes long before data size
-    matters. The edge list and each pass's labels are localCheckpoint'ed
-    (truncated lineage, executor-local blocks); a 1000-executor
-    deployment swaps in reliable `checkpoint()` on a fault-tolerant dir
-    — same algorithm, same cadence."""
+    matters. The edge list and each pass's labels cut lineage via
+    `lineage.cut_lineage` — executor-local blocks here, reliable
+    `checkpoint()` automatically on any deployment that sets a
+    fault-tolerant checkpoint dir; same algorithm, same cadence."""
     edges = pairs.select("d1", "d2")
-    sym = edges.union(
+    sym = cut_lineage(edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
-    labels = (
+    ))
+    labels = cut_lineage(
         sym.select(F.col("d1").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
@@ -67,10 +67,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("jumped")
         )
-        new_labels = (
+        new_labels = cut_lineage(
             merged.join(hop, "label", "left")
             .select("node", F.coalesce("jumped", "label").alias("label"))
-            .localCheckpoint()
         )
         delta = new_labels.join(
             labels.withColumnRenamed("label", "old"), "node"

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.lineage import cut_lineage
 from etl_finance_spark.memo import session_memo
 from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
@@ -395,11 +396,11 @@ def ivf_centroids(vectors: DataFrame,
     # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
     # driver pass that builds all queries before running any) no longer
     # trains the model as a side effect — the first real action does.
-    train = (
+    train = cut_lineage(
         vectors.select("vec_id", "vec")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap)
-        .localCheckpoint(eager=False)
+        .limit(train_cap),
+        eager=False,
     )
     seeds = (
         train.orderBy("vec_id").limit(N_CELLS)
@@ -463,7 +464,7 @@ def ivf_centroids(vectors: DataFrame,
             )
         )
         # checkpoint cadence: every CHECKPOINT_EVERY passes plus the
-        # final model. Each localCheckpoint is an eager job — at
+        # final model. Each eager lineage cut is a job — at
         # LLOYD_ITERS=2 checkpointing every pass spent more wall-clock
         # on job barriers than it saved in lineage (round-3 A/B), while
         # NEVER checkpointing regrows the plan exponentially with the
@@ -472,7 +473,7 @@ def ivf_centroids(vectors: DataFrame,
         # model, so they never replay k-means lineage.
         it += 1
         if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
-            cent = cent.localCheckpoint(eager=False)
+            cent = cut_lineage(cent, eager=False)
     return cent
 
 

@@ -2,8 +2,8 @@
 
 PageRank here; connected components lives in llm/clusters.py (both
 follow the same iterative discipline: linear-shuffle passes, loop
-invariants materialized once, localCheckpoint lineage cuts, nothing
-collected to the driver).
+invariants materialized once, deployment-aware lineage cuts
+(lineage.cut_lineage), nothing collected to the driver).
 """
 
 from __future__ import annotations
@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from etl_finance_spark.lineage import cut_lineage
 
 
 def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
@@ -26,22 +28,23 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
     build time via a window over src (the same shuffle key the
     per-pass join uses), so there is no per-pass degree join and no
     broadcast of the node-cardinality degree table. The edge frame and
-    the teleport base (the loop invariants) localCheckpoint once —
+    the teleport base (the loop invariants) cut lineage once
+    (lineage.cut_lineage: executor-local or reliable per deployment) —
     left lazy, the node-set distinct would re-execute inside every
-    pass — and each pass's ranks checkpoint to cut lineage.
+    pass — and each pass's ranks cut lineage likewise.
     Property-tested against a Python power-iteration reference in
     tests/test_property.py."""
-    sym = edges.withColumn(
+    sym = cut_lineage(edges.withColumn(
         "w",
         F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
-    ).localCheckpoint()
+    ))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    base = nodes.crossJoin(F.broadcast(nn)).select(
+    base = cut_lineage(nodes.crossJoin(F.broadcast(nn)).select(
         "node",
         (F.lit(1.0) / F.col("n")).alias("pr0"),
         ((1 - damp) / F.col("n")).alias("teleport"),
-    ).localCheckpoint()
+    ))
     pr = base.select("node", F.col("pr0").alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -49,7 +52,7 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
         )
-        pr = (
+        pr = cut_lineage(
             base.join(contrib, "node", "left")
             .select(
                 "node",
@@ -58,6 +61,5 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
                     + damp * F.coalesce("contrib", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
     return pr

@@ -81,8 +81,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.85 damping. Each pass is one equi-join on src + one groupBy on
     dst — the same linear-shuffle shape as connected_components. The
     edge list, the loop-INVARIANT teleport base (nodes x 1/n), and each
-    pass's ranks all localCheckpoint (lineage cut; reliable checkpoint()
-    on a cluster). Materializing the invariants once matters as much as
+    pass's ranks all cut lineage (lineage.cut_lineage — executor-local
+    blocks, or reliable checkpoint() wherever a checkpoint dir is set). Materializing the invariants once matters as much as
     cutting the loop lineage: left lazy, the node-set distinct would
     re-execute inside every one of the PR_ITERS passes. 1/out-degree is
     folded into the edge weight ONCE at build time (a window over src —

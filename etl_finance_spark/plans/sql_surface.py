@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.lineage import cut_lineage
 from etl_finance_spark.registry import register
 
 # Shared verbatim by the Spark query and the DuckDB oracle: identical
@@ -87,7 +88,7 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expand along same-order edges, keep each part's minimum depth.
     Spark 4 executes the recursion as an iterative union-of-levels
     plan, and it INLINES non-recursive CTEs into every level — so the
-    loop-invariant edge list is materialized first (localCheckpoint,
+    loop-invariant edge list is materialized first (cut_lineage,
     the same invariant-materialization pattern as q_pagerank) and the
     recursion runs over the checkpointed view: each level is then one
     hash join against settled data instead of a re-derived self-join.
@@ -110,12 +111,11 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"),
                   F.col("l_partkey").alias("dst"))
-    edges = (
+    edges = cut_lineage(
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
     )
     k = next(_BFS_SEQ)
     ev, sv = f"bfs_edges_{k}", f"bfs_seed_{k}"

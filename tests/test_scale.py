@@ -119,3 +119,60 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "n_regionkey" in pf and "= 1)" in pf.split("]", 1)[0]
     want = nation.filter(F.col("n_regionkey") == 1).count()
     assert picked.count() == want and want > 0
+
+
+def test_cut_lineage_reliable_mode_equivalence(tmp_path):
+    """lineage.cut_lineage is the deployment seam: with no checkpoint
+    dir the iterative operators cut lineage executor-locally; the
+    moment a session sets a fault-tolerant checkpoint dir (what a
+    cluster submit does once at startup) the SAME code paths write
+    reliable checkpoints instead. Runs in a subprocess because a
+    checkpoint dir cannot be unset on a live SparkContext — the shared
+    fixture session must not inherit one. Asserts both modes produce
+    identical results for connected components and PageRank, and that
+    reliable mode really wrote checkpoint files."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from etl_finance_spark.llm.clusters import connected_components
+from etl_finance_spark.operators.graphs import pagerank
+
+cc_edges = spark.createDataFrame(
+    [(1, 2), (2, 3), (4, 5), (7, 7)], "d1 long, d2 long")
+pr_edges = spark.createDataFrame(
+    [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long")
+
+def run():
+    cc = sorted(map(tuple, connected_components(cc_edges).collect()))
+    pr = sorted((r["node"], round(r["pr"], 12))
+                for r in pagerank(pr_edges, 0.85, 5).collect())
+    return cc, pr
+
+local_cc, local_pr = run()
+ckdir = %(ckdir)r
+spark.sparkContext.setCheckpointDir(ckdir)
+rel_cc, rel_pr = run()
+files = sum(len(fs) for _, _, fs in os.walk(ckdir))
+print(json.dumps({"cc_equal": local_cc == rel_cc,
+                  "pr_equal": local_pr == rel_pr,
+                  "cc_groups": len({l for _, l in local_cc}),
+                  "ck_files": files}))
+""" % {"repo": repo, "ckdir": str(tmp_path / "ck")}
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["cc_equal"] and got["pr_equal"], got
+    assert got["cc_groups"] == 3  # {1,2,3}, {4,5}, {7}
+    assert got["ck_files"] > 0, "reliable mode wrote no checkpoint files"
