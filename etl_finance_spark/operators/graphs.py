@@ -63,3 +63,52 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
             )
         )
     return pr
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list given as
+    canonical (p1 < p2) pairs, distributed compact-forward style
+    (Latapy; Suri & Vassilvitskii's MapReduce formulation).
+
+    Edges re-orient from the lower- to the higher-(degree, id)
+    endpoint, so each triangle with rank order a ≺ b ≺ c is counted
+    exactly once as (a,b)x(b,c)x(a,c) — two equi-joins, no post-filter
+    dedup — and the count equals any other one-per-triangle
+    orientation (e.g. plain id order). Degree ordering is the skew
+    guard id ordering is not: every node's OUT-degree is bounded by
+    ~sqrt(2m) (a hub ranks last, so its edges all point in and it
+    fans out nothing), which bounds the wedge join's per-key fan-out
+    in(b)·out(b); under id order one low-id hub would emit deg²
+    wedges under a single key. The degree frame joins plain (no
+    broadcast hint — it is node-cardinality and AQE must stay free to
+    choose); the final count collapses map-side."""
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    g = (
+        edges.join(
+            deg.select(F.col("v").alias("p1"), F.col("d").alias("d1")), "p1")
+        .join(deg.select(F.col("v").alias("p2"), F.col("d").alias("d2")),
+              "p2")
+    )
+    p1_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    # the oriented frame feeds all three join branches — cut lineage
+    # once (non-eager: building the query must not run a job) or each
+    # branch re-executes the degree joins
+    o = cut_lineage(g.select(
+        F.when(p1_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(p1_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    ), eager=False)
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

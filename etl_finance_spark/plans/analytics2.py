@@ -24,6 +24,7 @@ PR_DAMP = 0.85
 # the co-purchase edge threshold IS the shared build's (plans/graph.py):
 # importing it keeps the unrolled-CTE oracle below from ever drifting
 # from the Spark side, which reads copurchase_edges directly
+from etl_finance_spark.plans.graph import ITEMS_CTE_SQL as PR_ITEMS_CTE
 from etl_finance_spark.plans.graph import MIN_ORDERS as PR_MIN_ORDERS
 
 
@@ -32,9 +33,7 @@ def _pagerank_oracle() -> str:
     exact computation the Spark loop performs, so the iterative rung is
     hash-checked, not rows-only."""
     head = f"""
-    WITH items AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
+    WITH {PR_ITEMS_CTE}, e AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

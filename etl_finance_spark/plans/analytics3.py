@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.plans.graph import ITEMS_CTE_SQL as _GRAPH_ITEMS_CTE
 from etl_finance_spark.plans.graph import MIN_ORDERS as _GRAPH_MIN_ORDERS
 from etl_finance_spark.registry import register
 
@@ -252,9 +253,7 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangle_count",
     # threshold interpolated from plans/graph.py (shared edge build)
     oracle=f"""
-    WITH items AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
+    WITH {_GRAPH_ITEMS_CTE}, e AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -268,27 +267,20 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the co-purchase graph — the clustering-
-    coefficient numerator and the classic multi-way self-join the
-    compact-forward algorithm distributes. Edges are canonically
-    oriented (p1 < p2), so each triangle a<b<c is counted exactly once
-    as (a,b)x(b,c)x(a,c): two equi-joins, no post-filter dedup. The
-    oriented edge list bounds each join's fan-out by out-degree (not
-    total degree), the standard skew guard; the final count collapses
-    map-side. Reads the session's shared co-purchase graph build
-    (plans/graph.py) — the persisted edge frame serves all three of its
-    self-join consumers below without rebuilding the rollup, and is the
-    same materialization q_copurchase_pairs / q_pagerank read."""
+    coefficient numerator, via the library op
+    `operators.graphs.triangle_count` (degree-ordered compact-forward
+    orientation: hub-skew-bounded wedge fan-out, count provably equal
+    to the id-oriented oracle — see the op's docstring; crafted
+    hub-graph equivalence pinned in tests/test_property.py). Reads the
+    session's shared co-purchase graph build (plans/graph.py) — the
+    persisted edge frame serves all three of its self-join consumers
+    without rebuilding the rollup, the same materialization
+    q_copurchase_pairs / q_pagerank read."""
+    from etl_finance_spark.operators.graphs import triangle_count
     from etl_finance_spark.plans.graph import copurchase_edges
 
-    e = copurchase_edges(spark, sf_dir).select("p1", "p2")
-    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-    e2 = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
-    e3 = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
-    return (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    return triangle_count(copurchase_edges(spark, sf_dir)
+                          .select("p1", "p2"))
 
 
 @register(

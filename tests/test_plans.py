@@ -547,13 +547,18 @@ def test_shared_builds_are_memoized_and_cached(spark):
     )
     # materialize once, then every consumer's plan must hit the cache
     e1.count()
-    for name in ("q_copurchase_pairs", "q_triangle_count"):
-        plan = _simple(spark, name)
-        # (the cached relation's originating plan is echoed inside
-        # InMemoryRelation, so lineitem column names still appear in the
-        # text — the InMemoryTableScan node is the signal that execution
-        # reads the cache instead of re-running that subplan)
-        assert "InMemoryTableScan" in plan, f"{name} rebuilds the edges:\n{plan}"
+    plan = _simple(spark, "q_copurchase_pairs")
+    # (the cached relation's originating plan is echoed inside
+    # InMemoryRelation, so lineitem column names still appear in the
+    # text — the InMemoryTableScan node is the signal that execution
+    # reads the cache instead of re-running that subplan)
+    assert "InMemoryTableScan" in plan, f"rebuilds the edges:\n{plan}"
+    # q_triangle_count consumes the same cache inside its oriented-edge
+    # checkpoint build; the query plan itself therefore bottoms out at
+    # the checkpointed RDD (three branches share ONE materialization —
+    # the InMemoryTableScan runs once, inside that RDD's lineage)
+    tri = _simple(spark, "q_triangle_count")
+    assert "ExistingRDD" in tri, f"oriented edges not checkpointed:\n{tri}"
 
 
 def test_cosine_topk_broadcasts_query_side(spark):
@@ -563,3 +568,22 @@ def test_cosine_topk_broadcasts_query_side(spark):
     k x N dot-product fan-out onto the query side's 1-2 partitions."""
     plan = _simple(spark, "q_cosine_topk")
     assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+
+
+def test_mega_basket_guard_bounds_pair_fanout(spark):
+    """plans/graph.py MAX_BASKET: a pathological mega-order (quadratic
+    pair fan-out under ONE join key — an unsplittable straggler at
+    scale) is dropped before the self-join; organic baskets pass
+    through untouched. min_orders=1 here so the cap is observed
+    directly, not masked by the repeat threshold."""
+    from etl_finance_spark.plans.graph import MAX_BASKET, edges_from_items
+
+    rows = [(1, p) for p in range(MAX_BASKET + 1)]      # one mega-basket
+    rows += [(2, 1000), (2, 1001), (3, 1000), (3, 1001)]  # organic pair
+    items = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    capped = sorted(map(tuple, edges_from_items(items, min_orders=1)
+                        .collect()))
+    assert capped == [(1000, 1001, 2)]  # mega-basket contributed nothing
+    n_mega_pairs = (MAX_BASKET + 1) * MAX_BASKET // 2
+    uncapped = edges_from_items(items, min_orders=1, max_basket=10**9)
+    assert uncapped.count() == 1 + n_mega_pairs

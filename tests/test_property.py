@@ -440,3 +440,65 @@ def test_pagerank_matches_power_iteration(pairs):
     assert set(got) == set(pr)
     for v in pr:
         assert abs(got[v] - pr[v]) <= 1e-9, (v, got[v], pr[v])
+
+
+edges_strategy = st.sets(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges_strategy)
+def test_triangle_count_matches_bruteforce(raw_edges):
+    """Degree-ordered compact-forward triangle_count equals an
+    adjacency-set brute force on arbitrary graphs — including the
+    star/hub shapes the degree orientation exists for (a hub's edges
+    all point in, so it fans out nothing)."""
+    from etl_finance_spark.operators.graphs import triangle_count
+
+    spark = _get_spark()
+    canon = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a, b in canon
+        for c in adj[a] & adj[b]
+        if b < c  # count each triangle once via its a<b<c labels
+    )
+    df = spark.createDataFrame(
+        canon or [(0, 1)], "p1 long, p2 long"
+    )
+    if not canon:
+        df = df.limit(0)
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == want
+
+
+def test_triangle_count_hub_graph_exact():
+    """Deterministic hub case: a 50-spoke star plus a 10-clique hanging
+    off two spokes. Star alone has zero triangles; every triangle must
+    come from the clique and the two spoke-hub wedges."""
+    from etl_finance_spark.operators.graphs import triangle_count
+
+    spark = _get_spark()
+    hub = 1000
+    edges = [(s, hub) for s in range(50)]                 # star: 0 tris
+    clique = list(range(10))
+    edges += [(a, b) for i, a in enumerate(clique)
+              for b in clique[i + 1:]]                    # C(10,3) tris
+    edges += [(0, hub), (1, hub)]                         # dup-safe: set
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(canon, "p1 long, p2 long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    # clique triangles + hub triangles: hub connects to spokes 0..49,
+    # clique edges among spokes 0..9 each close a triangle with the hub
+    want = 10 * 9 * 8 // 6 + 10 * 9 // 2
+    assert got == want
