@@ -176,3 +176,50 @@ print(json.dumps({"cc_equal": local_cc == rel_cc,
     assert got["cc_equal"] and got["pr_equal"], got
     assert got["cc_groups"] == 3  # {1,2,3}, {4,5}, {7}
     assert got["ck_files"] > 0, "reliable mode wrote no checkpoint files"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """session.py enables spark.sql.adaptive.skewJoin as the residual-
+    skew backstop (the hazard salting can't cover arrives at runtime,
+    in keys nobody salted). This is the executable witness that the
+    claim is real, not a config comment: a 95%-hot-key join, with the
+    skew size thresholds scaled down to fixture bytes, must come out
+    of AQE with the hot partition SPLIT — SortMergeJoin(skew=true) in
+    the finalized adaptive plan — and the split join's result must
+    equal the plain arithmetic expectation."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("w"),
+        )
+        j = big.join(dim, "k").groupBy().count()
+        # 190000 hot rows match dim key 0; ids 0,20,...,980 match 1:1
+        assert j.collect()[0]["count"] == 190_000 + 50
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the hot partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
