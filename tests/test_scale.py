@@ -223,3 +223,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """The other runtime join optimization the 100 TB path leans on:
+    when a selectively-filtered dim joins a large fact, Spark's
+    InjectRuntimeFilter builds a bloom filter from the dim keys and
+    applies it inside the fact side BEFORE the join shuffle
+    (might_contain in the plan) — rows that can't match never leave
+    their scan task. On by default; its size thresholds (10 GB scan
+    side) mean it stays dormant at fixture scale and arms itself at
+    warehouse scale. This witness scales the thresholds down and
+    asserts the filter really injects and the result stays exact."""
+    from pyspark.sql import functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(500_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("p"),
+    ).write.parquet(fact_p)
+    spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("cat")
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 7)
+        j = fact.join(dim, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 100  # ids 7,107,...,9907
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter did not inject:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
