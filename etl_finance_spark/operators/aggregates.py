@@ -333,7 +333,12 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group (the 50th percentile special-case both
     engines implement natively; interpolation arithmetic is identical
-    double math so 6dp rounding is stable)."""
+    double math so 6dp rounding is stable). Memory model at scale:
+    Spark's exact percentile aggregates a per-group counts-map keyed
+    by DISTINCT value (l_quantity has 50), not a buffer of all rows —
+    mergeable and spillable, but O(distinct-values-per-group); the
+    unbounded-cardinality path is the q_approx_percentiles /
+    q_kll_quantiles sketch twins."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("med_qty"),

@@ -585,8 +585,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier profile per event type: median absolute deviation
     instead of stddev (a single fat-tailed burst inflates sigma and
     hides every other outlier; MAD doesn't). Two grouped exact medians
-    with a broadcast-size re-join of the per-group stats — the robust
-    twin of q_zscore."""
+    with a broadcast-size re-join of the per-group stats (bounded: one
+    row per event type) — the robust twin of q_zscore. The exact
+    medians carry the counts-map memory model documented at
+    q_median_by_group; swap in approx_percentile at unbounded value
+    cardinality."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = (
@@ -681,7 +684,10 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time profile per event type (the ops-health metric
     behind alerting thresholds): per-entity lag deltas in whole epoch
     seconds — integer math, so cross-engine percentile interpolation
-    stays exact — then grouped median/p90."""
+    stays exact — then grouped median/p90 (counts-map memory model,
+    see q_median_by_group: gap seconds cluster heavily, so the
+    distinct-value domain stays small; approx_percentile is the
+    unbounded-domain swap)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
