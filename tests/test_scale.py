@@ -270,3 +270,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_queries_survive_small_heap():
+    """Memory-pressure smoke: the shuffle-heaviest declared queries
+    (dedup ladder, clusters fixpoint, pair fan-out, exact percentiles,
+    ANN index build) complete at sf0.1 under a 1 GiB driver heap —
+    an 8x cut from the bench environment. The point is the storage
+    story: every cache in these paths is persist(MEMORY_AND_DISK) or a
+    checkpoint, i.e. evictable/spillable, so shrinking the heap slows
+    them down instead of killing them. Subprocess because heap size is
+    fixed at JVM launch."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from etl_finance_spark import registry
+from etl_finance_spark.session import get_spark
+spark = get_spark("lowmem", cpus=4, shuffle_partitions=16)
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.driver.memory") == "1g"
+specs = registry.collect()
+for name in ("q_dedup_text", "q_percentiles", "q_dedup_clusters",
+             "q_copurchase_pairs", "q_minhash_lsh", "q_ann_ivf_topk"):
+    df = specs[name].fn(spark, "/root/testdata/sf0.1")
+    df.write.format("noop").mode("overwrite").save()
+    print("OK", name, flush=True)
+print("DONE")
+""" % {"repo": repo}
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="1g")
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo, env=env,
+                         capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "DONE" in out.stdout, out.stdout[-2000:]
