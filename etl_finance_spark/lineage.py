@@ -15,6 +15,12 @@ HOW it truncates is a deployment decision, not an algorithm one:
   directory (HDFS/S3) — survives any executor loss, at the cost of one
   write+read round trip per cut. Right for a 1000-executor run, where
   losing one executor mid-iteration 7 of 8 must not restart the job.
+  (Reliable checkpointing recomputes the frame once for the write —
+  the classic persist-before-checkpoint caveat. For these operators
+  each pass is one join + one aggregate over an already-checkpointed
+  input, so the recompute doubles a single cheap pass, not the whole
+  lineage; a deployment that measures the write as dominant can
+  persist() the pass result first and unpersist after the cut.)
 
 ``cut_lineage`` picks by the session's own deployment signal: a
 cluster submit sets ``spark.sparkContext.setCheckpointDir(<dfs path>)``
