@@ -93,7 +93,10 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion runs over the checkpointed view: each level is then one
     hash join against settled data instead of a re-derived self-join.
     Bounds that keep recursion sane are explicit: order-sampled edges
-    (1/10), depth ≤ 2, min-depth dedup at the end. UNBOUNDED closure
+    (1/10), depth ≤ 2, min-depth dedup at the end. (The edge build
+    here is a demonstration subgraph; a production co-purchase edge
+    list comes from plans/graph.py, which also carries the MAX_BASKET
+    mega-order guard on the quadratic pair fan-out.) UNBOUNDED closure
     this way is exponential in path count — full-graph reachability at
     100 TB belongs to the delta-checked connected-components fixpoint
     (llm/clusters.py:84), which this query exists to contrast. The

@@ -157,6 +157,25 @@ _DRIVER_WINDOW = (
 # q_mode_by_group, q_moments, q_regr_ols), q_explode_outer,
 # q_embed_standardize, and the 4 WEAK sketches (rows-only). 35 + flagship
 # + sentinels fits ONE final window — full driver coverage closes in r05.
+#
+# DRAFT r05 window (apply at round-5 start, after CORRECTNESS_r04
+# confirms the r04 rows; verify len == 50 and adjust sentinels to any
+# r04 reds first):
+#   flagship: q_pct_change_hourly
+#   sentinels (one per r04-green family + plan-changed recheck):
+#     q_bool_aggs, q_str_funcs, q_pricing_summary, q_variant_get,
+#     q_copurchase_pairs, q_pagerank, q_dedup_clusters, q_decontaminate
+#   the 35 never-checked: q_drawdown q_bollinger q_vwap q_rsi
+#     q_stochastic q_obv q_macd q_beta q_atr q_golden_cross q_sharpe
+#     q_sessionize_gaps q_scd2_build q_dq_expectations q_triangle_count
+#     q_ewma
+#     q_event_transitions q_ohlc_daily_reagg q_domain_mix q_source_cap
+#     q_pii_redact q_chunk_windows q_corpus_stats q_array_agg_distinct
+#     q_semantic_dedup q_bitmap_distinct q_mode_by_group q_moments
+#     q_regr_ols q_explode_outer q_embed_standardize q_hll_distinct
+#     q_hll_union q_theta_setops q_kll_quantiles
+#   = 1 + 8 + 35 = 44 names; 6 slots spare for extra sentinels or any
+#   r04 reds (the five WEAK rows record rows-only checks).
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
