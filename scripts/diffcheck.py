@@ -16,11 +16,11 @@ from etl_finance_spark.session import get_spark
 from etl_finance_spark.testing import compare, duck_connect
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    specs = registry.collect()
-    spark = get_spark("diffcheck", cpus=8, shuffle_partitions=8)
+TRI_SCALE = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+             "/root/testdata/sf0.1")
+
+
+def _run(spark, specs, sf_dir: str, only: set[str]) -> int:
     con = duck_connect(sf_dir)
     failures = 0
     for name, spec in sorted(specs.items()):
@@ -40,6 +40,19 @@ def main() -> int:
         if not ok:
             failures += 1
         print(f"{status} {name} ({time.time()-t0:.1f}s)" + ("" if ok else f"\n  {msg}"))
+    return failures
+
+
+def main() -> int:
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    specs = registry.collect()
+    spark = get_spark("diffcheck", cpus=8, shuffle_partitions=8)
+    failures = 0
+    for sf_dir in (TRI_SCALE if arg == "all" else (arg,)):
+        if arg == "all":
+            print(f"== {sf_dir} ==")
+        failures += _run(spark, specs, sf_dir, only)
     return 1 if failures else 0
 
 
