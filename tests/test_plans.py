@@ -587,3 +587,46 @@ def test_mega_basket_guard_bounds_pair_fanout(spark):
     n_mega_pairs = (MAX_BASKET + 1) * MAX_BASKET // 2
     uncapped = edges_from_items(items, min_orders=1, max_basket=10**9)
     assert uncapped.count() == 1 + n_mega_pairs
+
+
+def test_graph_oracles_share_the_capped_items_cte():
+    """All three co-purchase consumers' oracles must interpolate the
+    ONE items-CTE string from plans/graph.py (threshold + MAX_BASKET
+    guard) — a hand-rewritten oracle would silently fork the
+    semantics the Spark side implements."""
+    from etl_finance_spark.plans.graph import ITEMS_CTE_SQL, MAX_BASKET
+
+    assert f"bsz <= {MAX_BASKET}" in ITEMS_CTE_SQL
+    for name in ("q_copurchase_pairs", "q_pagerank", "q_triangle_count"):
+        assert ITEMS_CTE_SQL in SPECS[name].oracle, (
+            f"{name} oracle no longer embeds the shared capped-items CTE"
+        )
+
+
+def test_lineage_cuts_route_through_the_seam():
+    """Every iterative lineage cut in the package goes through
+    lineage.cut_lineage (the deployment seam: executor-local vs
+    reliable checkpoint by config). A raw .localCheckpoint( call
+    outside lineage.py would silently opt that operator out of
+    fault-tolerant mode on clusters."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_finance_spark",
+    )
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            if os.path.basename(path) == "lineage.py":
+                continue
+            src = open(path).read()
+            for i, line in enumerate(src.splitlines(), 1):
+                if ".localCheckpoint(" in line:
+                    offenders.append(f"{path}:{i}")
+    assert not offenders, (
+        "raw localCheckpoint outside lineage.py: " + ", ".join(offenders)
+    )
