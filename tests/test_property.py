@@ -502,3 +502,47 @@ def test_triangle_count_hub_graph_exact():
     # clique edges among spokes 0..9 each close a triangle with the hub
     want = 10 * 9 * 8 // 6 + 10 * 9 // 2
     assert got == want
+
+
+items_strategy = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(0, 12)),  # (order, part)
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(items_strategy, st.integers(1, 3), st.integers(2, 6))
+def test_copurchase_edges_match_bruteforce(raw, min_orders, max_basket):
+    """plans/graph.edges_from_items equals a Python pair-count brute
+    force under arbitrary (order, part) multisets and arbitrary
+    threshold/cap settings — including baskets straddling the cap and
+    duplicate (order, part) rows collapsing via distinct."""
+    from collections import Counter
+
+    from etl_finance_spark.plans.graph import edges_from_items
+
+    spark = _get_spark()
+    items = sorted(set(raw))  # the operator contract: already distinct
+    baskets: dict[int, set[int]] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    want = Counter()
+    for o, parts in baskets.items():
+        if len(parts) > max_basket:
+            continue
+        ps = sorted(parts)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1:]:
+                want[(p1, p2)] += 1
+    expected = sorted(
+        (p1, p2, n) for (p1, p2), n in want.items() if n >= min_orders
+    )
+    df = spark.createDataFrame(
+        items or [(1, 1)], "l_orderkey long, l_partkey long"
+    )
+    if not items:
+        df = df.limit(0)
+    got = sorted(map(tuple, edges_from_items(
+        df, min_orders=min_orders, max_basket=max_basket).collect()))
+    assert got == expected
