@@ -129,8 +129,9 @@ def test_cut_lineage_reliable_mode_equivalence(tmp_path):
     reliable checkpoints instead. Runs in a subprocess because a
     checkpoint dir cannot be unset on a live SparkContext — the shared
     fixture session must not inherit one. Asserts both modes produce
-    identical results for connected components and PageRank, and that
-    reliable mode really wrote checkpoint files."""
+    identical results for connected components, PageRank, and the
+    non-eager IVF quantizer build (the eager=False reliable path), and
+    that reliable mode really wrote checkpoint files."""
     import json
     import os
     import subprocess
@@ -145,27 +146,38 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.ui.showConsoleProgress", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
 from etl_finance_spark.llm.clusters import connected_components
+from etl_finance_spark.llm.similarity import ivf_centroids
 from etl_finance_spark.operators.graphs import pagerank
 
 cc_edges = spark.createDataFrame(
     [(1, 2), (2, 3), (4, 5), (7, 7)], "d1 long, d2 long")
 pr_edges = spark.createDataFrame(
     [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long")
+vecs = spark.range(64).select(
+    F.col("id").alias("vec_id"),
+    F.transform(F.sequence(F.lit(0), F.lit(7)),
+                lambda i: (F.col("id") * 8 + i).cast("double") / 512.0
+                ).alias("vec"),
+)
 
 def run():
     cc = sorted(map(tuple, connected_components(cc_edges).collect()))
     pr = sorted((r["node"], round(r["pr"], 12))
                 for r in pagerank(pr_edges, 0.85, 5).collect())
-    return cc, pr
+    # the eager=False lineage-cut path (Lloyd passes + model packing)
+    model = sorted(map(tuple, ivf_centroids(vecs).collect()))
+    return cc, pr, model
 
-local_cc, local_pr = run()
+local_cc, local_pr, local_m = run()
 ckdir = %(ckdir)r
 spark.sparkContext.setCheckpointDir(ckdir)
-rel_cc, rel_pr = run()
+rel_cc, rel_pr, rel_m = run()
 files = sum(len(fs) for _, _, fs in os.walk(ckdir))
 print(json.dumps({"cc_equal": local_cc == rel_cc,
                   "pr_equal": local_pr == rel_pr,
+                  "ivf_equal": local_m == rel_m,
                   "cc_groups": len({l for _, l in local_cc}),
                   "ck_files": files}))
 """ % {"repo": repo, "ckdir": str(tmp_path / "ck")}
@@ -173,7 +185,7 @@ print(json.dumps({"cc_equal": local_cc == rel_cc,
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got["cc_equal"] and got["pr_equal"], got
+    assert got["cc_equal"] and got["pr_equal"] and got["ivf_equal"], got
     assert got["cc_groups"] == 3  # {1,2,3}, {4,5}, {7}
     assert got["ck_files"] > 0, "reliable mode wrote no checkpoint files"
 
