@@ -37,6 +37,7 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 
 def test_simhash_deterministic_and_locality(spark):
+    """Determinism + locality for the q_simhash WEAK rung."""
     docs = _docs(spark)
     a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     b = {r.doc_id: r.simhash for r in simhash(docs).collect()}

@@ -195,3 +195,22 @@ def test_global_window_detector_fires(spark):
     assert global_window_specs(plan(bad))
     assert global_window_specs(plan(decoy))
     assert not global_window_specs(plan(good))
+
+
+def test_every_weak_query_is_name_referenced_in_tests():
+    """The WEAK (oracle=None) rows opt out of the DuckDB differential,
+    so their evidence is unit/property tests BY CONTRACT — every WEAK
+    query name must appear somewhere in tests/ source (by convention
+    the covering test names it in its docstring). A future WEAK query
+    landing without a named test fails here on arrival."""
+    import glob
+    import os
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    src = "".join(
+        open(p).read() for p in glob.glob(os.path.join(tests_dir, "*.py"))
+    )
+    weak = [n for n, s in SPECS.items() if s.oracle is None]
+    assert weak, "expected WEAK queries in the registry"
+    missing = [n for n in weak if n not in src]
+    assert not missing, f"WEAK queries with no named test: {missing}"

@@ -151,6 +151,8 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_approx_distinct_error_bound(spark):
+    """Error bound for the q_agg_approx_distinct WEAK rung: the HLL++
+    estimate at rsd=0.02 stays within 10% of the exact distinct."""
     from etl_finance_spark.catalog import table as t
 
     li = t(spark, SF_SMOKE, "lineitem")
