@@ -214,3 +214,20 @@ def test_every_weak_query_is_name_referenced_in_tests():
     assert weak, "expected WEAK queries in the registry"
     missing = [n for n in weak if n not in src]
     assert not missing, f"WEAK queries with no named test: {missing}"
+
+
+def test_driver_window_names_are_live_and_full():
+    """_window_order silently skips names that are not registered, so a
+    typo in a future window rotation would silently hand the driver a
+    different query set. Pin the contract: every window name resolves,
+    the window fills the driver's ~50-row check exactly, and the window
+    is duplicate-free."""
+    w = registry._DRIVER_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == len(w), "duplicate names in _DRIVER_WINDOW"
+    missing = [n for n in w if n not in SPECS]
+    assert not missing, f"window names not registered: {missing}"
+    order = list(SPECS)
+    assert order[:len(w)] == list(w), (
+        "registry.collect() does not lead with the driver window"
+    )
