@@ -319,3 +319,37 @@ print("DONE")
                          capture_output=True, text=True, timeout=540)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "DONE" in out.stdout, out.stdout[-2000:]
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic partition pruning — the star-schema runtime prune the
+    100 TB layout depends on: the fact is directory-partitioned by the
+    join key, the dim filter is on a NON-key column, so the set of fact
+    partitions to read is only known at runtime. Spark must inject a
+    `dynamicpruning` subquery into the fact scan's PartitionFilters
+    (reusing the dim's broadcast), so non-matching date partitions are
+    pruned at file listing — never read, never shuffled. A static
+    filter can't do this; without DPP the fact scan reads all
+    partitions and throws rows away post-scan."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(100_000).select(
+        (F.col("id") % 50).alias("date_id"),
+        (F.col("id") * 3).alias("sales"),
+    ).write.partitionBy("date_id").parquet(fact_p)
+    # dim: 50 dates, cat==3 selects exactly 5 of them (non-key filter)
+    spark.range(50).select(
+        F.col("id").alias("date_id"), (F.col("id") % 10).alias("cat")
+    ).write.parquet(dim_p)
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+    j = fact.join(dim, "date_id").groupBy().agg(
+        F.count("*").alias("n"), F.sum("sales").alias("s")
+    )
+    row = j.collect()[0]
+    assert row["n"] == 10_000  # 5 of 50 partitions x 2000 rows
+    plan = _physical_plan(j)
+    scan = [l for l in plan.splitlines()
+            if "PartitionFilters" in l and "date_id" in l][0]
+    assert "dynamicpruning" in scan, (
+        "fact scan has no dynamicpruning PartitionFilter:\n" + plan[:2000]
+    )
