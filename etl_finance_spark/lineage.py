@@ -15,12 +15,16 @@ HOW it truncates is a deployment decision, not an algorithm one:
   directory (HDFS/S3) — survives any executor loss, at the cost of one
   write+read round trip per cut. Right for a 1000-executor run, where
   losing one executor mid-iteration 7 of 8 must not restart the job.
-  (Reliable checkpointing recomputes the frame once for the write —
-  the classic persist-before-checkpoint caveat. For these operators
-  each pass is one join + one aggregate over an already-checkpointed
-  input, so the recompute doubles a single cheap pass, not the whole
-  lineage; a deployment that measures the write as dominant can
-  persist() the pass result first and unpersist after the cut.)
+  (Bare ``checkpoint()`` recomputes the frame for the write — the
+  classic persist-before-checkpoint caveat — and, unlike
+  ``localCheckpoint``, does NOT cache, so a multi-consumer frame
+  (triangle_count's oriented edges feed three join branches) would
+  recompute per consumer too. ``cut_lineage`` therefore persists the
+  input before a reliable cut: the first materialization caches, the
+  write job and every other consumer read the cache. Eager cuts
+  unpersist immediately after the write (the checkpoint files now
+  serve reads); non-eager cuts leave the persist in place — the same
+  evictable/spillable block profile localCheckpoint has.)
 
 ``cut_lineage`` picks by the session's own deployment signal: a
 cluster submit sets ``spark.sparkContext.setCheckpointDir(<dfs path>)``
@@ -40,5 +44,12 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     checkpoint directory configured, executor-locally otherwise."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        # persist-before-checkpoint: without it the write job recomputes
+        # the frame and every consumer stage recomputes it again
+        # (checkpoint() does not cache; localCheckpoint() does)
+        df.persist()
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from etl_finance_spark import registry
 
 from conftest import SF_CORRECT, explain_simple
@@ -112,11 +114,20 @@ def _simple(spark, name: str) -> str:
     return explain_simple(spark, SPECS[name].fn(spark, SF_CORRECT))
 
 
-def test_no_plan_antipatterns_anywhere(spark):
+@pytest.fixture(scope="module")
+def inventory_dfs(spark):
+    """Every declared query's DataFrame, built ONCE for the module:
+    both sweep tests iterate the same 214 plans, and construction is
+    not free (q_recursive_bfs runs an eager lineage-cut job, the
+    similarity family touches session memos)."""
+    return {name: SPECS[name].fn(spark, SF_CORRECT) for name in sorted(SPECS)}
+
+
+def test_no_plan_antipatterns_anywhere(spark, inventory_dfs):
     hits: list[str] = []
     plans: dict[str, str] = {}
-    for name in sorted(SPECS):
-        plans[name] = _simple(spark, name)
+    for name, df in inventory_dfs.items():
+        plans[name] = explain_simple(spark, df)
     for name, plan in plans.items():
         # 1. no unconstrained pair blowup: every cross/theta join in the
         # repo must have planned into a broadcast or equi form
@@ -143,7 +154,7 @@ def test_no_plan_antipatterns_anywhere(spark):
         )
 
 
-def test_no_unbounded_broadcast_hints_anywhere(spark):
+def test_no_unbounded_broadcast_hints_anywhere(spark, inventory_dfs):
     """Every broadcast HINT in every declared query pins a scale-free
     build — provably bounded by plan shape, or allowlisted above with
     the reason. Stats/AQE-chosen broadcasts never carry the hint, so
@@ -152,8 +163,7 @@ def test_no_unbounded_broadcast_hints_anywhere(spark):
     import test_plans as TP
 
     flagged: dict[str, int] = {}
-    for name in sorted(SPECS):
-        df = SPECS[name].fn(spark, SF_CORRECT)
+    for name, df in inventory_dfs.items():
         bad = [s for s in TP._broadcast_hinted_sides(df)
                if not TP._is_bounded_build(s)]
         if bad:

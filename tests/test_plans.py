@@ -86,8 +86,11 @@ def test_cohort_retention_has_no_broadcast_hint(spark):
     pin a broadcast via hint (VERDICT r1 #3). AQE may still broadcast at
     runtime from measured sizes — that is allowed; a static hint is not."""
     df = SPECS["q_cohort_retention"].fn(spark, SF_CORRECT)
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+    # the optimizer folds ResolvedHint into Join.hint before the plan
+    # prints, so string-match the folded form via the hint walker — a
+    # "ResolvedHint not in text" assertion never fires on any plan
+    hinted = list(_broadcast_hinted_sides(df))
+    assert not hinted, hinted[0].toString()
 
 
 def test_asof_join_aggregates_with_partial_min(spark):
@@ -145,9 +148,11 @@ def test_stream_static_enrich_has_no_broadcast_hint(spark):
     ev = table(spark, SF_CORRECT, "events")
     dim = (ev.groupBy("user_id")
            .count().withColumnRenamed("count", "n_events"))
-    logical = (enrich_with_dim(ev, dim)._jdf.queryExecution()
-               .optimizedPlan().toString())
-    assert "ResolvedHint" not in logical and "BROADCAST" not in logical
+    # same folded-hint walker as test_cohort_retention: plan text never
+    # contains "ResolvedHint"/"BROADCAST", only Join.hint's
+    # leftHint/rightHint=(strategy=broadcast) survives optimization
+    hinted = list(_broadcast_hinted_sides(enrich_with_dim(ev, dim)))
+    assert not hinted, hinted[0].toString()
 
 
 def test_split_and_sample_are_map_side_only(spark):
@@ -555,8 +560,21 @@ def test_shared_builds_are_memoized_and_cached(spark):
     assert "InMemoryTableScan" in plan, f"rebuilds the edges:\n{plan}"
     # q_triangle_count consumes the same cache inside its oriented-edge
     # checkpoint build; the query plan itself therefore bottoms out at
-    # the checkpointed RDD (three branches share ONE materialization —
-    # the InMemoryTableScan runs once, inside that RDD's lineage)
+    # the checkpointed RDD, which HIDES the InMemoryTableScan from the
+    # plan text. Pin the seam in two observable halves instead:
+    # (a) the memoized frame really is cached (a dropped .persist()
+    #     in copurchase_edges shows up here), and
+    tri_edges = copurchase_edges(spark, SF_CORRECT)
+    assert tri_edges.storageLevel.useMemory or \
+        tri_edges.storageLevel.useDisk, "copurchase_edges no longer persists"
+    # (b) q_triangle_count still builds FROM the memo (a rewrite that
+    #     re-derives edges from lineitem would pass any plan-text check
+    #     once the checkpoint hides lineage — catch it at the source)
+    import inspect
+
+    from etl_finance_spark.plans import analytics3
+    src = inspect.getsource(analytics3.q_triangle_count)
+    assert "copurchase_edges(" in src, src
     tri = _simple(spark, "q_triangle_count")
     assert "ExistingRDD" in tri, f"oriented edges not checkpointed:\n{tri}"
 

@@ -348,8 +348,8 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
     row = j.collect()[0]
     assert row["n"] == 10_000  # 5 of 50 partitions x 2000 rows
     plan = _physical_plan(j)
-    scan = [l for l in plan.splitlines()
-            if "PartitionFilters" in l and "date_id" in l][0]
-    assert "dynamicpruning" in scan, (
+    scans = [l for l in plan.splitlines()
+             if "PartitionFilters" in l and "date_id" in l]
+    assert scans and "dynamicpruning" in scans[0], (
         "fact scan has no dynamicpruning PartitionFilter:\n" + plan[:2000]
     )
