@@ -38,11 +38,19 @@ JACCARD_TAU = 0.8
 DOC_CAP = 500  # exact-pair rungs bound their candidate set
 
 
+def _token_set(text: Column) -> Column:
+    """THE token-set rule (distinct whitespace tokens). doc_tokens,
+    minhash_signatures, and simhash must all tokenize identically —
+    LSH candidates generated under one rule but Jaccard-verified under
+    another silently lose recall — so the rule exists exactly once."""
+    return F.array_distinct(F.split(text, " "))
+
+
 def doc_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, tok) pairs, token-set semantics (distinct per doc)."""
     return docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        F.explode(_token_set(F.col("text"))).alias("tok"),
     )
 
 
@@ -147,7 +155,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     pairs in every band, the exact quadratic blowup LSH exists to
     avoid."""
     arr = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id", _token_set(F.col("text")).alias("toks")
     )
 
     def mh(seed: int):
@@ -264,7 +272,7 @@ def simhash(docs: DataFrame, n_bits: int = 63) -> DataFrame:
     agg = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.transform(
-            F.array_distinct(F.split("text", " ")),
+            _token_set(F.col("text")),
             lambda t: F.xxhash64(t),
         ).alias("hs"),
     ).select("doc_id", "hs", F.explode(F.array(F.lit(1))).alias("_one"))

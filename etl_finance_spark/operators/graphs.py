@@ -34,17 +34,24 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
     pass — and each pass's ranks cut lineage likewise.
     Property-tested against a Python power-iteration reference in
     tests/test_property.py."""
+    # eager=False on every cut: the iteration count is FIXED (no
+    # convergence check needs a mid-build action), so constructing the
+    # query must not run the edge rollup + all passes as a side effect
+    # (the same construction-time-execution rule ivf_centroids follows;
+    # plan sweeps and driver passes build every query before running
+    # any). Lineage still truncates at construction — the cut returns a
+    # LogicalRDD — and each pass caches on first materialization.
     sym = cut_lineage(edges.withColumn(
         "w",
         F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
-    ))
+    ), eager=False)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     base = cut_lineage(nodes.crossJoin(F.broadcast(nn)).select(
         "node",
         (F.lit(1.0) / F.col("n")).alias("pr0"),
         ((1 - damp) / F.col("n")).alias("teleport"),
-    ))
+    ), eager=False)
     pr = base.select("node", F.col("pr0").alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -60,7 +67,8 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
                     F.col("teleport")
                     + damp * F.coalesce("contrib", F.lit(0.0))
                 ).alias("pr"),
-            )
+            ),
+            eager=False,
         )
     return pr
 

@@ -47,15 +47,13 @@ queries = emb.filter(F.col("vec_id") < S.N_QUERY)
 query_cells = S.ivf_assign(queries, cent, S.N_PROBE).select(
     F.col("vec_id").alias("qid"), "cell"
 )
-salts = F.array(*[F.lit(s) for s in range(S.PAIR_SALTS)])
+# the PRODUCTION candidate join, not a re-implementation — hand-rolled
+# copies drifted from salted_join once already this round
+from etl_finance_spark.operators.scale import salted_join  # noqa: E402
+
 cand = (
-    query_cells.withColumn("salt", F.explode(salts))
-    .join(
-        corpus_cells.withColumn(
-            "salt", F.pmod(F.xxhash64("cid"), F.lit(S.PAIR_SALTS)).cast("int")
-        ),
-        ["cell", "salt"],
-    )
+    salted_join(corpus_cells, query_cells, "cell",
+                salt=S.PAIR_SALTS, salt_on=["cid"])
     .filter(F.col("cid") != F.col("qid"))
     .select("qid", "cid")
 )
