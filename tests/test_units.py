@@ -362,3 +362,41 @@ def test_session_memo_builds_once_and_evicts_dead_sessions(spark):
     c = session_memo(memo, spark, "/other-sf", build)
     assert c is not a and len(calls) == 2
     assert set(memo) == {(app, "/sf"), (app, "/other-sf")}
+
+
+def test_concurrent_queries_share_one_session_safely(spark):
+    """Warehouse concurrency witness: a real deployment runs many
+    queries on ONE SparkSession at once, so the session-shared state
+    this repo touches at query-build time — fixture temp views
+    (catalog.register_views), per-call BFS view names, the
+    corpus/quantizer session memos, runtime conf sets in
+    catalog.table — must tolerate concurrent callers. Eight threads
+    run a mixed batch (SQL-over-views, recursive CTE, memoized ANN,
+    iterative PageRank, the conf-dependent events scan) repeatedly and
+    every result must match its serial baseline exactly."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+    names = [
+        "q_pct_change_hourly",   # events scan: runtime nanos conf
+        "q_lateral_topn",        # spark.sql over shared fixture views
+        "q_recursive_bfs",       # per-call unique temp views + drop
+        "q_agg_gsets",           # register_views + spark.sql
+        "q_ann_ivf_topk",        # session-memoized corpus + model
+        "q_pagerank",            # lineage cuts + shared edge memo
+    ]
+
+    def run(name: str):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: run(n) for n in names}
+    batch = names * 3
+    random.Random(7).shuffle(batch)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, batch))
+    for name, rows in zip(batch, results):
+        assert rows == baseline[name], f"{name} diverged under concurrency"
