@@ -353,3 +353,32 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
     assert scans and "dynamicpruning" in scans[0], (
         "fact scan has no dynamicpruning PartitionFilter:\n" + plan[:2000]
     )
+
+
+def test_results_do_not_depend_on_aqe(spark):
+    """AQE is a performance feature, not a correctness crutch: the
+    shuffle-heaviest shapes (salted candidate joins, two-phase skew
+    distinct, the co-purchase rollup, iterative CC labels) must produce
+    IDENTICAL results with adaptive execution disabled — a plan that is
+    only right after AQE's runtime re-plan (e.g. relying on its skew
+    split or coalescing for a dedup boundary) would break on any
+    cluster that tunes AQE differently. (A full 214-query AQE-off
+    differential ran green offline; this pins the sensitive subset.)"""
+    names = ("q_skew_distinct", "q_copurchase_pairs", "q_dedup_clusters",
+             "q_join_asof_events", "q_minhash_lsh")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    on = {n: snapshot(n) for n in names}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n in names:
+            assert snapshot(n) == on[n], f"{n} diverges with AQE off"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
