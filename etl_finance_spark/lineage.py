@@ -46,10 +46,15 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         # persist-before-checkpoint: without it the write job recomputes
         # the frame and every consumer stage recomputes it again
-        # (checkpoint() does not cache; localCheckpoint() does)
-        df.persist()
+        # (checkpoint() does not cache; localCheckpoint() does). Only
+        # unpersist what THIS call persisted — a caller-persisted frame
+        # keeps its cache.
+        ours = df.storageLevel.useMemory is False and \
+            df.storageLevel.useDisk is False
+        if ours:
+            df.persist()
         out = df.checkpoint(eager=eager)
-        if eager:
+        if eager and ours:
             df.unpersist()
         return out
     return df.localCheckpoint(eager=eager)
