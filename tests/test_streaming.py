@@ -467,3 +467,81 @@ class TestTransformWithState:
             .agg(F.sum("qty").alias("t")).collect()
         }
         assert last == batch
+
+
+def test_watermark_drops_late_rows_from_windowed_agg(spark):
+    """THE append-mode watermark contract: a windowed aggregate emits a
+    window exactly once, in the batch whose watermark first exceeds the
+    window end (evicting its state), and a row for that window arriving
+    in any LATER batch is dropped (numRowsDroppedByWatermark) — never a
+    second, corrected emission. A consumer of an emitted window can
+    treat it as immutable; that is what bounds result mutability on an
+    unbounded stream. (Empirically pinned nuance: a late row landing in
+    the SAME batch that evicts its window still merges — the late
+    filter and eviction share the batch watermark — so the drop is
+    observable only once the window left the state store.)"""
+    import datetime as dt
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampNTZType,
+    )
+
+    from etl_finance_spark.streaming.windows import (
+        tumbling_counts, with_watermark,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampNTZType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    src = tempfile.mkdtemp(prefix="late-src-")
+    staging = tempfile.mkdtemp(prefix="late-stage-")
+    try:
+        batches = [
+            [(1, "click", base)],                       # window [00:00,01:00)
+            [(2, "click", base + dt.timedelta(hours=3))],   # wm → 02:50 after
+            # wm=02:50 is in force HERE, so window1 evicts+emits (n=1)
+            [(4, "click", base + dt.timedelta(hours=3, minutes=5))],
+            # window1 is closed and gone from state: this row must DROP
+            # (a row late while its window is merely still open merges
+            # instead — eviction and the late-filter share the batch
+            # watermark, so the drop needs a previously-evicted window)
+            [(3, "click", base + dt.timedelta(minutes=5))],
+        ]
+        for i, rows in enumerate(batches):
+            d = f"{staging}/{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            part = glob.glob(f"{d}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/batch-{i}.parquet")
+        stream = read_event_stream(spark, src, schema)
+        q = (
+            tumbling_counts(with_watermark(stream, "10 minutes"))
+            .writeStream.format("memory")
+            .queryName("t_late_drop")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        q.stop()
+        rows = {
+            (r.window_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM t_late_drop").collect()
+        }
+        first_window = int(base.replace(
+            tzinfo=dt.timezone.utc).timestamp())
+        # the closed window emitted once with ONLY the on-time row
+        assert rows[(first_window, "click")] == 1
+        assert dropped >= 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
