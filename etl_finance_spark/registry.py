@@ -158,6 +158,11 @@ _DRIVER_WINDOW = (
 # q_embed_standardize, and the 4 WEAK sketches (rows-only). 35 + flagship
 # + sentinels fits ONE final window — full driver coverage closes in r05.
 #
+# `python scripts/plan_window.py` derives the next rotation from the
+# recorded CORRECTNESS_r*.json evidence (reds first, then
+# never-checked, then family sentinels) — run it at round start and
+# reconcile with the hand-drafted list below.
+#
 # DRAFT r05 window (apply at round-5 start, after CORRECTNESS_r04
 # confirms the r04 rows; verify len == 50 and adjust sentinels to any
 # r04 reds first):

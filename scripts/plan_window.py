@@ -1,0 +1,98 @@
+"""Propose the next round's driver correctness window.
+
+The driver oracle-checks ~the first 50 names `queries()` yields;
+`registry._DRIVER_WINDOW` controls that order. Rotating it each round
+is a delicate manual step (history: two queries slipped at positions
+51-52 for two straight rounds). This script derives the rotation from
+the recorded evidence instead:
+
+    python scripts/plan_window.py          # propose from CORRECTNESS_r*.json
+
+Priority order inside the 50:
+1. the flagship (always position 1 — it is also `entry()`),
+2. every query RED in the latest correctness file (fix-recheck),
+3. every query never driver-checked in ANY round (oldest families
+   first = registration order),
+4. sentinel re-checks: one green query per module family, filling the
+   remaining slots (rotating families so each gets periodic re-cover).
+
+Prints a ready-to-paste Python tuple plus the leftover count (queries
+that still will not fit — the next-next round's backlog).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_finance_spark import registry  # noqa: E402
+
+WINDOW = 50
+FLAGSHIP = "q_pct_change_hourly"
+
+
+def main() -> int:
+    specs = registry.collect()
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
+    if not files:
+        print("no CORRECTNESS_r*.json found", file=sys.stderr)
+        return 1
+    checked: set[str] = set()
+    latest = json.load(open(files[-1]))
+    for f in files:
+        checked |= set(json.load(open(f)))
+    reds = sorted(
+        n for n, row in latest.items()
+        if row.get("err") or not (row.get("hash_match")
+                                  or row.get("rows_match"))
+    )
+    never = [n for n in specs if n not in checked]  # registration order
+    by_module: dict[str, list[str]] = {}
+    for name, spec in specs.items():
+        by_module.setdefault(spec.fn.__module__, []).append(name)
+
+    # reserve a handful of slots for family sentinels (the established
+    # window practice: never-checked queries lead, but each green family
+    # keeps periodic re-cover and any plan-changed query gets rechecked)
+    reserve = 6 if len(never) > WINDOW - 1 else 0
+    window: list[str] = [FLAGSHIP]
+    for n in reds:
+        if n not in window and len(window) < WINDOW:
+            window.append(n)
+    cap = WINDOW - reserve
+    dropped = [n for n in never if n not in window][max(0, cap - len(window)):]
+    for n in never:
+        if n not in window and len(window) < cap:
+            window.append(n)
+    # sentinels: one green, previously-checked query per family
+    for mod, names in sorted(by_module.items()):
+        if len(window) >= WINDOW:
+            break
+        for n in names:
+            if n in checked and n not in window:
+                window.append(n)
+                break
+    # spare slots left after sentinels go back to the backlog
+    for n in list(dropped):
+        if len(window) >= WINDOW:
+            break
+        window.append(n)
+        dropped.remove(n)
+    print(f"# proposed window ({len(window)} names; "
+          f"{len(reds)} red recheck, {len(never) - len(dropped)} "
+          f"never-checked, {len(dropped)} left for next round)")
+    print("_DRIVER_WINDOW = (")
+    for n in window:
+        print(f'    "{n}",')
+    print(")")
+    if dropped:
+        print("# backlog (did not fit):", " ".join(dropped))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
