@@ -47,6 +47,11 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        # map cells: key order is engine-dependent (Spark insertion vs
+        # DuckDB storage order) — canonicalize to sorted item tuples so
+        # the row sort and equality see one representation
+        return tuple(sorted((str(k), _norm(x)) for k, x in v.items()))
     return v
 
 
