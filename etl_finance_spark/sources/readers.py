@@ -10,20 +10,47 @@ types) and a perf hazard (an extra full scan) at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType,
-             header: bool = True) -> DataFrame:
-    """CSV with a declared schema — no inferSchema scan."""
-    return spark.read.schema(schema).option("header", header).csv(path)
+             header: bool = True, mode: str = "PERMISSIVE",
+             corrupt_col: str | None = None) -> DataFrame:
+    """CSV with a declared schema — no inferSchema scan.
+
+    ``mode``/``corrupt_col`` set the malformed-record policy explicitly
+    (see read_json): at 100 TB one bad line must neither fail the whole
+    ingest (FAILFAST everywhere) nor vanish silently (bare PERMISSIVE);
+    naming a corrupt column quarantines it for reprocessing."""
+    reader = spark.read.option("header", header).option("mode", mode)
+    if corrupt_col is not None:
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_json(spark: SparkSession, path: str, schema: StructType,
+              mode: str = "PERMISSIVE",
+              corrupt_col: str | None = None) -> DataFrame:
     """JSON-lines with a declared schema (nested structs/arrays land as
     native types — the reference's dict-walking at etl.py:273-291
-    becomes plain column access)."""
-    return spark.read.schema(schema).json(path)
+    becomes plain column access).
+
+    Malformed-record policy is explicit: PERMISSIVE (default) null-fills
+    unparseable rows, and naming ``corrupt_col`` captures each one's raw
+    text in that column — the quarantine pattern (filter it out for the
+    clean frame, write it aside for reprocessing). mode="FAILFAST"
+    instead refuses the batch — right when any corruption means the
+    upstream export itself is broken."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).json(path)
 
 
 def from_api_payload(spark: SparkSession, records: list[dict],

@@ -400,3 +400,35 @@ def test_concurrent_queries_share_one_session_safely(spark):
         results = list(pool.map(run, batch))
     for name, rows in zip(batch, results):
         assert rows == baseline[name], f"{name} diverged under concurrency"
+
+
+def test_malformed_record_policy_quarantines_or_fails(spark, tmp_path):
+    """Ingestion robustness at scale: one bad line in a 100 TB JSON
+    drop must neither kill the ingest nor vanish. PERMISSIVE with a
+    named corrupt column keeps every good row AND captures the raw
+    text of each unparseable one (the quarantine pattern); FAILFAST
+    refuses the batch outright."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_finance_spark.sources.readers import read_json
+
+    p = tmp_path / "drop.json"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 4, "name": "d"}\n'
+    )
+    schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+    ])
+    df = read_json(spark, str(p), schema, corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [(r.id, r.name) for r in rows if r._bad is None]
+    bad = [r._bad for r in rows if r._bad is not None]
+    assert sorted(good) == [(1, "a"), (2, "b"), (4, "d")]
+    assert bad == ["THIS IS NOT JSON"]
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_json(spark, str(p), schema, mode="FAILFAST").collect()
