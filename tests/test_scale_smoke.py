@@ -249,6 +249,76 @@ def test_connected_components_log_depth_on_deep_chain(spark):
     assert out.count() == L
 
 
+def test_asof_backward_closed_form_at_scale(spark):
+    """1M probes + 200k quotes over 1000 keys, quotes on a regular
+    10-tick grid — every probe's expected payload is closed-form: the
+    quote at floor(ts/10)*10 (a quote at the exact probe ts counts;
+    side orders quote-before-probe). Verifies the union+window as-of at
+    ~17x the fixture event count with NO brute-force oracle (the
+    mismatch count is computed distributed; nothing collects), and pins
+    the structural claim behind the 100 TB posture: the plan is a
+    Window over a Union — no join operator anywhere, so there is no
+    |quotes_k| x |probes_k| fan-out to blow up on a hot key."""
+    from conftest import explain_simple
+
+    from etl_finance_spark.operators.joins import asof_backward
+
+    n_keys = 1_000
+    quotes = spark.range(200_000).select(
+        (F.col("id") % n_keys).alias("k"),
+        ((F.col("id") / n_keys).cast("long") * 10).alias("ts"),
+        F.col("id").alias("rid"),
+        ((F.col("id") % n_keys) * 100_000
+         + (F.col("id") / n_keys).cast("long") * 10)
+        .cast("double").alias("qv"),
+    )
+    probes = spark.range(1_000_000).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(2000)).alias("ts"),
+        (F.col("id") + 10_000_000).alias("rid"),
+    )
+    out = asof_backward(probes, quotes, ["k"], "ts", "rid", ["qv"])
+    plan = explain_simple(spark, out)
+    assert "Window" in plan
+    assert "Join" not in plan
+    # every key has a quote at ts=0, so no probe is left unmatched
+    expected = (F.col("k") * 100_000
+                + F.floor(F.col("ts") / 10) * 10).cast("double")
+    assert out.count() == 1_000_000
+    assert out.filter(
+        F.col("qv").isNull() | (F.col("qv") != expected)
+    ).count() == 0
+
+
+def test_fill_forward_closed_form_at_scale(spark):
+    """LOCF on a 1M-row series over 1000 entities with an observation
+    planted every 5th tick (value = tick), so the filled value is
+    closed-form floor(tick/5)*5 at every row. Pins exactness at ~30x
+    the fixture event count and the one-shuffle shape: a single
+    entity-keyed Exchange feeds the running window — no self-join, no
+    global sort."""
+    from conftest import explain_simple
+
+    from etl_finance_spark.operators.windows import fill_forward
+
+    base = spark.range(1_000_000).select(
+        (F.col("id") % 1_000).alias("entity"),
+        (F.col("id") / 1_000).cast("long").alias("seq"),
+    )
+    obs = base.withColumn("v", F.when(F.col("seq") % 5 == 0, F.col("seq")))
+    filled = obs.select(
+        "entity", "seq",
+        fill_forward(F.col("v"), "entity", ["seq"]).alias("locf"),
+    )
+    plan = explain_simple(spark, filled)
+    assert "hashpartitioning(entity" in plan
+    assert plan.count("Exchange") == 1
+    expected = F.floor(F.col("seq") / 5) * 5
+    assert filled.filter(
+        F.col("locf").isNull() | (F.col("locf") != expected)
+    ).count() == 0
+
+
 def test_salted_join_spreads_pathological_key(spark):
     """1M-row big side where ONE key holds 50% of all rows — the
     profile where an unsalted join floods a single reducer. The
