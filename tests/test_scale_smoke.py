@@ -319,6 +319,30 @@ def test_fill_forward_closed_form_at_scale(spark):
     ).count() == 0
 
 
+def test_pagerank_uniform_fixed_point_on_regular_graph(spark):
+    """A 100k-node cycle (2-regular after symmetrization) has the
+    closed-form PageRank fixed point 1/n at EVERY node: teleport
+    (1-d)/n plus d times two half-contributions (1/n)/2 is 1/n again.
+    Running the production power iteration and asserting every rounded
+    rank equals round(1/n, 9) exercises the full iterative discipline
+    (edge-weight degree fold, teleport base, per-pass lineage cuts) on
+    a graph ~40x the fixture co-purchase graph, with an analytic
+    oracle instead of a driver-side reference."""
+    from etl_finance_spark.operators.graphs import pagerank
+
+    n = 100_000
+    fwd = spark.range(n).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(n)).alias("dst"),
+    )
+    sym = fwd.union(fwd.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    pr = pagerank(sym, 0.85, 5).select(F.round("pr", 9).alias("r"))
+    assert pr.count() == n
+    vals = [row.r for row in pr.distinct().collect()]
+    assert vals == [round(1.0 / n, 9)], vals
+
+
 def test_salted_join_spreads_pathological_key(spark):
     """1M-row big side where ONE key holds 50% of all rows — the
     profile where an unsalted join floods a single reducer. The
