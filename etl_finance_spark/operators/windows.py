@@ -237,6 +237,41 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_gaps(df: DataFrame, entity: str, sec_col: str,
+                    id_col: str, gap_s: int) -> DataFrame:
+    """Gaps-and-islands session assignment: rows of ``df`` get a
+    per-``entity`` ``session_id`` (1-based, in (sec, id) order) that
+    increments whenever the gap since the previous row exceeds
+    ``gap_s`` seconds. The pure-window formulation (lag -> boundary
+    flag -> running sum): both windows share ONE
+    hashpartitioning(entity) exchange; nothing global. Every ORDER BY
+    carries the ``id_col`` tiebreak — same-second rows otherwise split
+    or merge sessions depending on engine-internal tie order (observed
+    live at sf0.1, user 1061). Returns (entity, id_col, sec_col,
+    session_id); callers aggregate to the session grain themselves
+    (plans/analytics3.q_sessionize_gaps) or keep the row grain.
+    Exact-checked against a closed-form planted corpus at 1M rows in
+    tests/test_scale_smoke.py."""
+    w = Window.partitionBy(entity).orderBy(sec_col, id_col)
+    marked = df.select(entity, id_col, sec_col).withColumn(
+        "new_session",
+        F.when(
+            (F.col(sec_col) - F.lag(sec_col).over(w)).isNull()
+            | ((F.col(sec_col) - F.lag(sec_col).over(w)) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy(entity)
+        .orderBy(sec_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        entity, id_col, sec_col,
+        F.sum("new_session").over(wrun).cast("long").alias("session_id"),
+    )
+
+
 def fill_forward(value, entity: str, order_cols: list[str]):
     """LOCF column expression: the entity's last non-null observation
     at-or-before each row in ``order_cols`` order (last ignore-nulls

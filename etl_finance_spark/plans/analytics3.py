@@ -63,25 +63,12 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — carries the event_id tiebreak: same-second events otherwise
     split or merge sessions depending on engine-internal tie order
     (observed live at sf0.1, user 1061)."""
+    from etl_finance_spark.operators.windows import sessionize_gaps
+
     ev = table(spark, sf_dir, "events")
-    sec = F.unix_timestamp("ts")
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    marked = ev.select("user_id", "event_id", sec.alias("sec")).withColumn(
-        "new_session",
-        F.when(
-            (F.col("sec") - F.lag("sec").over(w)).isNull()
-            | ((F.col("sec") - F.lag("sec").over(w)) > SESSION_GAP_S),
-            1,
-        ).otherwise(0),
-    )
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("sec", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = marked.select(
-        "user_id", "sec",
-        F.sum("new_session").over(wrun).cast("long").alias("session_id"),
+    numbered = sessionize_gaps(
+        ev.select("user_id", "event_id", F.unix_timestamp("ts").alias("sec")),
+        "user_id", "sec", "event_id", SESSION_GAP_S,
     )
     return numbered.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
