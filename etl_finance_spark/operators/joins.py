@@ -134,21 +134,51 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-JOIN-6: bounded temporal self-join — events followed within 1h
-    by another event of the same user. Equi-join on user_id carries the
-    plan; the range predicate filters post-join, so no cartesian blowup
-    (pairs per user are bounded by the 1h window)."""
+    by another event of the same user, via TIME-BUCKET DECOMPOSITION
+    (the standard interval-join plan; bucket width = the 1h range
+    bound). A bare user_id equi-join generates |events_u|^2 candidate
+    pairs per user over the user's WHOLE history — quadratic in
+    retention, the complexity class that kills a years-deep event store
+    at 100 TB regardless of the 1h bound (the round-3 shape). Here the
+    right side replicates to its own hour bucket and the previous one
+    (2x, constant), the join keys on (user_id, bucket), and the exact
+    range predicate filters inside the match: a qualifying pair has
+    bucket(e2) - bucket(e1) in {0, 1}, so the cover is exact and each
+    pair meets on EXACTLY one replica (no dedup). Candidates fall to
+    |b| x (|b| + |b+1|) per user-hour — linear in history at bounded
+    event density. Closed-form exact-checked at 1M rows in
+    tests/test_scale_smoke.py (see range_join_following)."""
     events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    e1 = events.alias("e1")
-    e2 = events.alias("e2")
+    return range_join_following(events, "user_id", "ts", "event_id", 3600)
+
+
+def range_join_following(events: DataFrame, key: str, ts_col: str,
+                         id_col: str, bound_s: int) -> DataFrame:
+    """Count, per row, the same-``key`` rows with ``ts_col`` strictly
+    after it and at most ``bound_s`` seconds later (rows with no
+    follower emit nothing — inner-join semantics). Bucketed interval
+    join: left rows keep their floor(sec/bound_s) bucket, right rows
+    replicate to {bucket, bucket-1}, and the exact µs-precision range
+    predicate evaluates inside the (key, bucket) equi-match."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    b = F.floor(sec / bound_s)
+    e1 = events.select(id_col, key, ts_col, b.alias("b")).alias("e1")
+    e2 = events.select(
+        id_col, key, ts_col,
+        F.explode(F.array(b, b - 1)).alias("b"),
+    ).alias("e2")
     return (
         e1.join(
             e2,
-            (F.col("e2.user_id") == F.col("e1.user_id"))
-            & (F.col("e2.event_id") != F.col("e1.event_id"))
-            & (F.col("e2.ts") > F.col("e1.ts"))
-            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
+            (F.col(f"e2.{key}") == F.col(f"e1.{key}"))
+            & (F.col("e2.b") == F.col("e1.b"))
+            & (F.col(f"e2.{id_col}") != F.col(f"e1.{id_col}"))
+            & (F.col(f"e2.{ts_col}") > F.col(f"e1.{ts_col}"))
+            & (F.col(f"e2.{ts_col}")
+               <= F.col(f"e1.{ts_col}")
+               + F.make_dt_interval(secs=F.lit(bound_s))),
         )
-        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .groupBy(F.col(f"e1.{id_col}").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_following"))
     )
 
