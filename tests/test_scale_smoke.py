@@ -319,6 +319,72 @@ def test_fill_forward_closed_form_at_scale(spark):
     ).count() == 0
 
 
+def test_sessionize_gaps_closed_form_at_scale(spark):
+    """Gaps-and-islands sessionization on 1M planted events over 1000
+    entities: ticks land 60s apart, plus an extra 3600s jump at every
+    100th tick — so each entity has EXACTLY 10 sessions of EXACTLY 100
+    events (gap 3660s > the 1800s threshold only at the planted
+    boundaries). Asserts the full closed-form session structure
+    distributed (no collect of the 1M rows) and the one-exchange claim:
+    both windows share a single hashpartitioning(entity) shuffle."""
+    from conftest import explain_simple
+
+    from etl_finance_spark.operators.windows import sessionize_gaps
+
+    base = spark.range(1_000_000).select(
+        (F.col("id") % 1_000).alias("entity"),
+        (F.col("id") / 1_000).cast("long").alias("seq"),
+        F.col("id").alias("rid"),
+    )
+    ev = base.withColumn(
+        "sec",
+        F.col("seq") * 60 + (F.col("seq") / 100).cast("long") * 3600,
+    )
+    numbered = sessionize_gaps(ev, "entity", "sec", "rid", 1800)
+    plan = explain_simple(spark, numbered)
+    assert plan.count("hashpartitioning(entity") == 1
+    assert plan.count("Exchange") == 1
+    sessions = numbered.groupBy("entity", "session_id").agg(
+        F.count("*").alias("n"))
+    bad = sessions.filter(F.col("n") != 100).count()
+    assert bad == 0, bad
+    assert sessions.count() == 10_000  # 1000 entities x 10 sessions
+    assert numbered.agg(F.max("session_id")).collect()[0][0] == 10
+
+
+def test_range_join_bucket_cover_closed_form_at_scale(spark):
+    """Bucketed interval join on 1M planted events (1000 users x 1000
+    ticks, 600s apart): every event's follower count within 3600s is
+    closed-form min(6, 999 - tick) — the +3600s tick is INCLUDED,
+    pinning the <= boundary of the bucket cover. The (key, bucket)
+    equi-join must carry the plan (SortMergeJoin on both keys), which
+    is the whole point: candidates per user-hour, not per user-history
+    squared."""
+    from conftest import explain_simple
+
+    from etl_finance_spark.operators.joins import range_join_following
+
+    ev = spark.range(1_000_000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 1_000).alias("uid"),
+        F.timestamp_seconds(
+            (F.col("id") % 1_000) * 7919
+            + (F.col("id") / 1_000).cast("long") * 600
+        ).alias("ts"),
+    )
+    out = range_join_following(ev, "uid", "ts", "rid", 3600)
+    plan = explain_simple(spark, out)
+    # the bucket must be an equi-key of the join (the strategy —
+    # broadcast vs sort-merge — is AQE's size-based choice, not ours)
+    import re
+
+    assert re.search(r"Join \[uid#\d+L?, b#\d+L?\]", plan), plan
+    # rid encodes the tick: tick = floor(rid / 1000)
+    expected = F.least(F.lit(6), F.lit(999) - F.floor(F.col("rid") / 1000))
+    assert out.count() == 999_000  # the last tick per user has no follower
+    assert out.filter(F.col("n_following") != expected).count() == 0
+
+
 def test_pagerank_uniform_fixed_point_on_regular_graph(spark):
     """A 100k-node cycle (2-regular after symmetrization) has the
     closed-form PageRank fixed point 1/n at EVERY node: teleport
