@@ -89,6 +89,70 @@ def write_sorted_layout(df: DataFrame, path: str, sort_cols: Sequence[str],
     )
 
 
+def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
+                 n_files: int, bits: int = 8) -> None:
+    """Z-order (Morton-curve) clustered write — the multi-dimensional
+    generalization of write_sorted_layout: rows sort by the bit
+    interleaving of each clustering column's width-bucketed rank, so
+    min/max footer statistics stay selective on EVERY clustering
+    column at once (a single sort key is selective on itself and
+    useless on the others; measured in tests/test_sources2.py —
+    the x-sorted layout prunes nothing on y, the z-ordered layout
+    prunes both dimensions).
+
+    Ranks derive from global per-column min/max computed in ONE tiny
+    aggregate that broadcast-joins back onto the frame — no driver
+    collect, so the plan stays a single pass over the data at any
+    scale. NULLs and degenerate (min == max) columns rank 0. ``bits``
+    buckets each dimension into 2^bits cells; 8 bits resolves up to
+    ~256 files per dimension, plenty past the point where file-level
+    pruning saturates. Clustering columns must be numeric (cast dates
+    and timestamps to epoch first)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    nb = 2 ** bits
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo{i}")
+          for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"__hi{i}")
+          for i, c in enumerate(cols)],
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    ranks = [
+        F.coalesce(
+            F.least(
+                F.lit(nb - 1),
+                F.floor(
+                    F.try_divide(
+                        F.col(c).cast("double") - F.col(f"__lo{i}"),
+                        F.col(f"__hi{i}") - F.col(f"__lo{i}"),
+                    )
+                    * nb
+                ),
+            ),
+            F.lit(0),
+        ).cast("long")
+        for i, c in enumerate(cols)
+    ]
+    # interleave: bit b of rank i lands at position b*k + i; the terms
+    # occupy disjoint bit positions, so a plain sum assembles the key
+    zkey = ranks[0] * 0
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            zkey = zkey + F.shiftleft(
+                F.shiftright(r, b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    (
+        with_stats.withColumn("__zkey", zkey)
+        .select(*df.columns, "__zkey")
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        target_files: int) -> int:
     """Small-file compaction: rewrite a directory into `target_files`

@@ -248,6 +248,51 @@ class TestLakeLayout:
         # and the read-back is complete
         assert spark.read.parquet(path).count() == li.count()
 
+    def test_zorder_layout_prunes_both_dimensions(self, spark, tmp_path):
+        """write_zorder must keep footer min/max selective on BOTH
+        clustering columns — measured as the fraction of files whose
+        [min, max] overlaps a 5%-wide mid-range predicate on each
+        dimension. The x-sorted baseline pins the contrast: it prunes
+        x hard but reads EVERY file for a y predicate, which is the
+        defect z-order exists to fix."""
+        import pyarrow.parquet as pq
+
+        from etl_finance_spark.sources.sinks import (
+            write_sorted_layout, write_zorder,
+        )
+
+        n = 200_000
+        df = spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1000)).alias("y"),
+        )
+        zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+        write_zorder(df, zpath, ["x", "y"], n_files=64)
+        write_sorted_layout(df, spath, ["x"], n_files=64)
+
+        def overlap_fraction(path, col, lo, hi):
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            hit = 0
+            for f in files:
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(col)
+                fl = min(md.row_group(i).column(idx).statistics.min
+                         for i in range(md.num_row_groups))
+                fh = max(md.row_group(i).column(idx).statistics.max
+                         for i in range(md.num_row_groups))
+                if fh >= lo and fl <= hi:
+                    hit += 1
+            return hit / len(files)
+
+        zx = overlap_fraction(zpath, "x", 475, 525)
+        zy = overlap_fraction(zpath, "y", 475, 525)
+        sx = overlap_fraction(spath, "x", 475, 525)
+        sy = overlap_fraction(spath, "y", 475, 525)
+        assert sx <= 0.15, sx   # single-sort prunes its own key hard...
+        assert sy == 1.0, sy    # ...and nothing on the other dimension
+        assert zx <= 0.5 and zy <= 0.5, (zx, zy)
+        assert spark.read.parquet(zpath).count() == n
+
     def test_compact_partitions(self, spark, tmp_path):
         from etl_finance_spark.sources.sinks import compact_partitions
 
