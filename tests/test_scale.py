@@ -412,6 +412,38 @@ def test_results_do_not_depend_on_ansi_mode(spark):
         spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
+def test_results_do_not_depend_on_shuffle_partition_count(spark):
+    """Deployment knob four: the shuffle partition count — and with it
+    which rows co-reside in which task — must never show in the rows.
+    The sensitive shapes are the ones with a partition-adjacent step:
+    hash-salted joins, the two-phase skew distinct, sorted-array
+    collection, iterative min-label propagation, content-hash
+    sampling, and the hash-order-bounded top-k. (A full 214-query
+    differential at cpus=7 / shuffle.partitions=5 — odd and
+    non-divisible by any fixture cardinality — ran green offline; this
+    pins the subset.)"""
+    names = ("q_skew_distinct", "q_agg_collect_sorted", "q_dedup_clusters",
+             "q_minhash_lsh", "q_split_deterministic", "q_topk")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges at 5 shuffle partitions"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_results_do_not_depend_on_session_timezone(spark):
     """Deployment knob three: a cluster whose session default is not
     UTC must not change any timestamp-derived answer. catalog.table
