@@ -256,6 +256,45 @@ def test_asof_backward_matches_bruteforce(rows):
     assert got == want
 
 
+# --- range_join_following (operators/joins.py) vs brute force --------------
+
+range_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=20),  # ts seconds
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(range_strategy)
+def test_range_join_following_matches_bruteforce(rows):
+    """The bucketed interval join must agree with the obvious all-pairs
+    reference at every edge the bucket cover touches: same-timestamp
+    rows (strictly-after excludes them), gaps of exactly bound_s
+    (included — the <= boundary), and pairs whose hour-bucket distance
+    is 0 vs 1 (the two replicas). Rows with no follower emit nothing
+    (inner-join semantics)."""
+    from etl_finance_spark.operators.joins import range_join_following
+
+    spark = _get_spark()
+    data = [(k, ts, i) for i, (k, ts) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, sec long, rid long").select(
+        "k", "rid", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {r.rid: r.n_following
+           for r in range_join_following(df, "k", "ts", "rid", 5).collect()}
+    want = {}
+    for k, ts, i in data:
+        n = sum(1 for k2, ts2, j in data
+                if k2 == k and j != i and ts < ts2 <= ts + 5)
+        if n:
+            want[i] = n
+    assert got == want
+
+
 # --- fill_forward (operators/windows.py) vs Python LOCF --------------------
 
 locf_strategy = st.lists(

@@ -293,6 +293,25 @@ class TestLakeLayout:
         assert zx <= 0.5 and zy <= 0.5, (zx, zy)
         assert spark.read.parquet(zpath).count() == n
 
+    def test_zorder_survives_degenerate_and_null_columns(self, spark,
+                                                         tmp_path):
+        """The rank math must not divide by zero on a constant column
+        (min == max -> try_divide NULL -> rank 0) nor lose NULL rows
+        (NULL rank coalesces to 0): the write succeeds and every row
+        round-trips."""
+        from etl_finance_spark.sources.sinks import write_zorder
+
+        df = spark.range(1_000).select(
+            F.lit(7).alias("const"),
+            F.when(F.col("id") % 3 == 0, F.col("id")).alias("sparse"),
+            F.col("id").alias("payload"),
+        )
+        path = str(tmp_path / "zdegen")
+        write_zorder(df, path, ["const", "sparse"], n_files=2)
+        back = spark.read.parquet(path)
+        assert back.count() == 1_000
+        assert back.agg(F.sum("payload")).collect()[0][0] == 499_500
+
     def test_compact_partitions(self, spark, tmp_path):
         from etl_finance_spark.sources.sinks import compact_partitions
 
