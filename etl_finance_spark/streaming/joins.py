@@ -33,11 +33,23 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
 
 
 def followed_within(first: DataFrame, second: DataFrame,
-                    minutes: int = 60) -> DataFrame:
+                    minutes: int = 60, how: str = "inner") -> DataFrame:
     """Stream-stream (or batch) pairing: for events of one type, the
     events of another type by the same user within `minutes` after.
     In streaming mode both inputs MUST carry watermarks (the caller
-    applies with_watermark) so the join state stays bounded."""
+    applies with_watermark) so the join state stays bounded.
+
+    ``how="left_outer"`` adds the unmatched-firsts tier (funnels need
+    the views that did NOT convert, not just the ones that did). In
+    batch mode nulls pad immediately; in streaming mode an unmatched
+    row can only emit once it can never match — when the watermark
+    passes ``first.ts + minutes`` and its state evicts, so EVICTION IS
+    EMISSION and results trail the watermark by the join window. The
+    time-range condition doubles as the state bound on both sides:
+    seconds are kept until the watermark passes their own ts, firsts
+    until their match deadline (tests/test_streaming.py pins both the
+    eviction-driven emission and that still-matchable firsts stay
+    pending rather than emitting early)."""
     a = first.select(
         F.col("user_id").alias("a_user"),
         F.col("event_id").alias("a_id"),
@@ -53,6 +65,7 @@ def followed_within(first: DataFrame, second: DataFrame,
         (F.col("b_user") == F.col("a_user"))
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        how,
     ).select("a_id", "b_id", "a_user")
 
 

@@ -545,3 +545,102 @@ def test_watermark_drops_late_rows_from_windowed_agg(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_emits_on_eviction(spark):
+    """Left-outer stream-stream join tier (followed_within
+    how='left_outer'): unmatched firsts null-pad, but only once the
+    watermark passes their match deadline (ts + bound) — eviction IS
+    emission, so results trail the watermark by the join window and a
+    still-matchable first must NOT emit early. Deterministic
+    lexically-ordered micro-batches:
+
+      batch 0: v1(u1 10:00), c1(u1 10:30 click), v2(u2 10:05)
+      batch 1: x1(u9 13:00)            → watermark 13:00 after it
+      batch 2: v3(u3 15:30), x2(u9 16:00 click)
+
+    v1 matches c1; v2's deadline (11:05) is behind the 13:00 watermark
+    when batch 2 runs → (v2, NULL) emits; v3's deadline (16:30) is
+    ahead of the final 16:00 watermark → pending forever, absent. The
+    batch formulation of the same function null-pads everything
+    immediately — the streamed rows must be exactly the batch rows
+    whose deadline the final watermark passed, plus all matches."""
+    import datetime as dt
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampNTZType,
+    )
+
+    from etl_finance_spark.streaming.joins import followed_within
+    from etl_finance_spark.streaming.windows import with_watermark
+
+    schema = StructType([
+        StructField("event_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("event_type", StringType()),
+    ])
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        [("v1", "u1", t(10, 0), "view"),
+         ("c1", "u1", t(10, 30), "click"),
+         ("v2", "u2", t(10, 5), "view")],
+        [("x1", "u9", t(13, 0), "view")],
+        [("v3", "u3", t(15, 30), "view"),
+         ("x2", "u9", t(16, 0), "click")],
+    ]
+    src = tempfile.mkdtemp(prefix="lo-src-")
+    staging = tempfile.mkdtemp(prefix="lo-stage-")
+    try:
+        for i, rows in enumerate(batches):
+            d = f"{staging}/{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            part = glob.glob(f"{d}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/batch-{i}.parquet")
+
+        def split(df):
+            views = df.filter(F.col("event_type") == "view")
+            clicks = df.filter(F.col("event_type") == "click")
+            return views, clicks
+
+        s = read_event_stream(spark, src, schema)
+        sv, sc = split(s)
+        got_df = _run_stream(
+            spark,
+            followed_within(
+                with_watermark(sv, "0 seconds"),
+                with_watermark(sc, "0 seconds"),
+                minutes=60, how="left_outer",
+            ),
+            "t_lo_join",
+            mode="append",
+        )
+        got = {(r.a_id, r.b_id) for r in got_df.collect()}
+
+        b = spark.read.schema(schema).parquet(src)
+        b = b.withColumn("ts", F.col("ts").cast("timestamp"))
+        bv, bc = split(b)
+        batch_rows = {
+            (r.a_id, r.b_id)
+            for r in followed_within(
+                bv, bc, minutes=60, how="left_outer").collect()
+        }
+        assert batch_rows == {
+            ("v1", "c1"), ("v2", None), ("x1", None), ("v3", None)
+        }
+
+        assert ("v1", "c1") in got            # matches emit normally
+        assert ("v2", None) in got            # deadline long past → emitted
+        assert ("v3", None) not in got        # still matchable → pending
+        # every streamed row is a batch row; the only rows allowed to be
+        # missing are unmatched views whose deadline the final watermark
+        # (16:00) hasn't passed — v3 always, x1 only if the post-batch
+        # watermark bump never got a no-data batch to act on
+        assert got <= batch_rows
+        assert batch_rows - got <= {("v3", None), ("x1", None)}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
