@@ -1,0 +1,108 @@
+"""Frequent-items summaries (operators/heavyhitters.py): the
+lower ≤ exact ≤ upper sandwich, the no-false-negative guarantee at the
+total-slack threshold, and adversarial recovery of a hitter spread
+thin across every partition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from etl_finance_spark.catalog import table
+from etl_finance_spark.operators.heavyhitters import (
+    frequent_items, topk_partials,
+)
+
+
+def _exact(df, col):
+    return {
+        str(r[0]): r[1]
+        for r in df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string")).count().collect()
+    }
+
+
+def _total_slack(df, col, k):
+    parts = topk_partials(df, col, k).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    rows = parts.groupBy("pid").agg(F.first("slack").alias("s")).collect()
+    return sum(r.s for r in rows)
+
+
+def test_bounds_sandwich_exact_counts(spark):
+    orders = table(spark, SF_SMOKE, "orders").repartition(8)
+    col = "o_custkey"
+    got = {r.item: (r.lower, r.upper)
+           for r in frequent_items(orders, col, k=25).collect()}
+    exact = _exact(orders, col)
+    assert got, "no candidates"
+    for item, (lo, hi) in got.items():
+        assert lo <= exact[item] <= hi, (item, lo, exact[item], hi)
+
+
+def test_no_false_negatives_above_slack_threshold(spark):
+    orders = table(spark, SF_SMOKE, "orders").repartition(8)
+    col = "o_orderpriority"  # 5 hot values — all far above slack
+    k = 3  # fewer counters than distinct values → real truncation
+    s = _total_slack(orders, col, k)
+    cand = {r.item for r in frequent_items(orders, col, k=k).collect()}
+    exact = _exact(orders, col)
+    missed = {i for i, f in exact.items() if f > s} - cand
+    assert missed == set(), f"guaranteed items missing: {missed}"
+
+
+def test_recovers_hitter_spread_thin_across_partitions(spark):
+    """Adversarial placement: a background of near-unique ids plus one
+    item spread ~3× per partition — never locally dominant (a count-1
+    straggler even LOSES the tiebreak against the count-1 background),
+    but globally far above the Σ-slack bar, so candidacy is guaranteed
+    and the [lower, upper] sandwich must bracket the true count within
+    total slack."""
+    n, parts, copies = 20_000, 16, 3
+    f = parts * copies
+    base = spark.range(n).select(
+        F.concat(F.lit("bg-"), F.col("id")).alias("v")
+    )
+    planted = spark.range(f).select(F.lit("needle").alias("v"))
+    df = base.unionAll(planted).repartition(parts)  # round-robin spread
+    s = _total_slack(df, "v", 8)
+    assert f > s  # the premise of the no-false-negative guarantee
+    got = {r.item: (r.lower, r.upper)
+           for r in frequent_items(df, "v", k=8).collect()}
+    assert "needle" in got
+    lo, hi = got["needle"]
+    assert lo <= f <= hi
+    assert hi - lo <= s  # uncertainty never exceeds total slack
+
+
+def test_partials_truncate_to_k_plus_slack(spark):
+    orders = table(spark, SF_SMOKE, "orders").repartition(8)
+    k = 5
+    parts = topk_partials(orders, "o_custkey", k).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per = parts.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"), F.first("slack").alias("s")
+    )
+    for r in per.collect():
+        assert r.n <= k            # at most k rows leave a partition
+        assert r.s >= 0
+
+
+def test_nulls_ignored_and_empty_input_empty_output(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string"
+    )
+    got = {r.item: (r.lower, r.upper)
+           for r in frequent_items(df, "v", k=10).collect()}
+    assert got["a"][0] == 2 and "None" not in got and None not in got
+    empty = df.filter(F.lit(False))
+    assert frequent_items(empty, "v", k=3).count() == 0
+
+
+def test_k_must_be_positive(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        topk_partials(df, "v", 0)
