@@ -472,3 +472,68 @@ def test_results_do_not_depend_on_session_timezone(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_task_retry_reruns_partition_without_changing_results():
+    """Fault-recovery witness: a task that fails on its first attempt
+    and is retried re-executes its partition from lineage and the job
+    result is IDENTICAL to the uninjected run. This is the contract a
+    1000-executor deployment leans on every hour (executor loss,
+    speculative kills) — it holds because every operator here is
+    deterministic per partition: content-derived keys, sorted
+    collect_*, partition-invariant sampling. Local mode normally fails
+    the job on the first task failure, so the subprocess session uses
+    master local[4,2] (2 task attempts); the injected failure fires
+    exactly once via TaskContext (partition 0, attempt 0) inside a
+    mapInPandas stage feeding a shuffle + the frequent-items summary
+    pipeline."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sentinel = tempfile.mktemp(prefix="retry-sentinel-")
+    script = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark import TaskContext
+from pyspark.sql import SparkSession, functions as F
+from etl_finance_spark.operators.heavyhitters import frequent_items
+
+spark = (SparkSession.builder.master("local[4,2]").appName("retry-wit")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+base = spark.range(50_000).select(
+    (F.col("id") %% 97).cast("string").alias("v")).repartition(4)
+
+def flaky(batches):
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        # sentinel proves the failure really fired (Python workers'
+        # stdout never reaches the driver, so use the filesystem)
+        with open(%(sentinel)r, "a") as fh:
+            fh.write("fired\n")
+        raise RuntimeError("injected first-attempt failure")
+    for pdf in batches:
+        yield pdf
+
+flaked = base.mapInPandas(flaky, "v string")
+want_counts = sorted(map(tuple, base.groupBy("v").count().collect()))
+got_counts = sorted(map(tuple, flaked.groupBy("v").count().collect()))
+assert got_counts == want_counts, "retry changed aggregation results"
+
+want_fi = sorted(map(tuple, frequent_items(base, "v", k=30).collect()))
+got_fi = sorted(map(tuple, frequent_items(flaked, "v", k=30).collect()))
+assert got_fi == want_fi, "retry changed frequent-items summaries"
+print("DONE")
+""" % {"repo": repo, "sentinel": sentinel}
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "DONE" in out.stdout, out.stdout[-2000:]
+    with open(sentinel) as fh:
+        fired = fh.read().count("fired")
+    assert fired >= 1, "injected failure never fired — witness vacuous"
