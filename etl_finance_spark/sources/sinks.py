@@ -27,6 +27,27 @@ def write_partitioned(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def backfill_partitions(df: DataFrame, path: str,
+                        partition_by: Sequence[str]) -> None:
+    """Idempotent reprocessing of a partitioned table: DYNAMIC
+    partition overwrite replaces exactly the partitions present in
+    ``df`` and leaves every other partition's files untouched — the
+    repair primitive behind "re-run day X with the fixed logic".
+    Append would duplicate the day; static overwrite mode would drop
+    the whole table. Re-running the same backfill converges to the
+    same bytes (no read-modify-write, so it also commutes with
+    concurrent readers of other partitions)."""
+    if not partition_by:
+        raise ValueError("backfill_partitions needs partition columns; "
+                         "use a plain overwrite for unpartitioned data")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_upsert(spark: SparkSession, incoming: DataFrame, path: str,
                  keys: Sequence[str]) -> None:
     """R-SNK-2: insert-if-absent on the key against a parquet target.

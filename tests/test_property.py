@@ -585,3 +585,47 @@ def test_copurchase_edges_match_bruteforce(raw, min_orders, max_basket):
     got = sorted(map(tuple, edges_from_items(
         df, min_orders=min_orders, max_basket=max_basket).collect()))
     assert got == expected
+
+
+# --- incremental rollup maintenance: merge algebra on arbitrary splits ---
+
+rollup_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group key
+        st.integers(min_value=-1000, max_value=1000),  # value
+        st.booleans(),                              # split side
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rollup_rows)
+def test_merge_rollup_equals_direct_on_any_split(rows):
+    """merge(state(A), state(B)) == state(A ∪ B) for every split the
+    strategy draws — including splits where a key lives entirely on
+    one side and all-NULL-free integer measures, so equality is exact
+    (operators/incremental.py's contract, fixture-free)."""
+    from etl_finance_spark.operators.incremental import (
+        merge_states, rollup_state,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(k, v, s) for k, v, s in rows], "k string, v long, s boolean"
+    )
+    specs = {"tot": ("sum", "v"), "n": ("count", None),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    a = rollup_state(df.filter(F.col("s")), ["k"], specs)
+    b = rollup_state(df.filter(~F.col("s")), ["k"], specs)
+    merged = {
+        r.k: (r.tot, r.n, r.lo, r.hi)
+        for r in merge_states([a, b], ["k"], specs).collect()
+    }
+    direct = {
+        r.k: (r.tot, r.n, r.lo, r.hi)
+        for r in rollup_state(df, ["k"], specs).collect()
+    }
+    assert merged == direct

@@ -396,6 +396,42 @@ class TestLakeLayout:
         rows = {r.id: (r.tag, r.score) for r in merged.collect()}
         assert rows[0] == ("a", None) and rows[4] == ("b", 40)
 
+    def test_backfill_replaces_only_its_partitions(self, spark, tmp_path):
+        """backfill_partitions: dynamic overwrite replaces exactly the
+        partitions in the incoming frame — untouched days keep their
+        FILES (not just their rows), the repaired day is replaced (not
+        appended), and re-running the same backfill is a no-op."""
+        import glob
+
+        from etl_finance_spark.sources.sinks import (
+            backfill_partitions, write_partitioned,
+        )
+
+        path = str(tmp_path / "days")
+        base = spark.createDataFrame(
+            [(1, "d1", 10.0), (2, "d2", 20.0), (3, "d3", 30.0),
+             (4, "d2", 21.0)],
+            "id long, day string, v double",
+        )
+        write_partitioned(base, path, ["day"])
+        d1_files = sorted(glob.glob(f"{path}/day=d1/*.parquet"))
+        fixed_d2 = spark.createDataFrame(
+            [(2, "d2", 200.0), (4, "d2", 210.0)],
+            "id long, day string, v double",
+        )
+        backfill_partitions(fixed_d2, path, ["day"])
+        got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {1: 10.0, 2: 200.0, 3: 30.0, 4: 210.0}
+        # other partitions' files untouched byte-for-byte (same paths)
+        assert sorted(glob.glob(f"{path}/day=d1/*.parquet")) == d1_files
+        # idempotent re-run converges
+        backfill_partitions(fixed_d2, path, ["day"])
+        again = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        assert again == got
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="partition columns"):
+            backfill_partitions(fixed_d2, path, [])
+
 
 class TestXml:
     def test_round_trip_and_from_xml(self, spark, tmp_path):
