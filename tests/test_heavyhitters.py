@@ -106,3 +106,25 @@ def test_k_must_be_positive(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="k must be"):
         topk_partials(df, "v", 0)
+
+
+def test_top_tokens_on_documents_corpus(spark):
+    """LLM-pipeline tie-in: top tokens of the documents fixture. The
+    candidates' bounds must sandwich the exact token counts, and the
+    true top-5 tokens (by exact count) must all be candidates whose
+    counts clear the Σ-slack guarantee."""
+    docs = table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok")
+    ).filter(F.col("tok") != "").repartition(8)
+    k = 30
+    got = {r.item: (r.lower, r.upper)
+           for r in frequent_items(toks, "tok", k).collect()}
+    exact = _exact(toks, "tok")
+    s = _total_slack(toks, "tok", k)
+    top5 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for tok, f in top5:
+        assert f > s, "fixture degenerated — top tokens under slack"
+        assert tok in got
+        lo, hi = got[tok]
+        assert lo <= f <= hi

@@ -446,3 +446,43 @@ def test_salted_join_spreads_pathological_key(spark):
         F.count("*").alias("n"), F.sum("v").alias("sv"),
         F.sum("row_id").alias("sr")).collect()[0]
     assert agg(plain) == agg(salt)
+
+
+def test_frequent_items_closed_form_at_1m_rows(spark):
+    """Heavy hitters on 1M planted rows: 100k-distinct uniform
+    background (each value ~10x) + 3 hitters at 50k/30k/20k copies,
+    interleaved so every partition sees every hitter. Closed form:
+    each hitter's true count dwarfs Σ slack, so all three MUST be
+    candidates with the bound sandwich holding; and the shuffle stays
+    (k+1)·partitions rows by construction (pinned on the partials
+    frame, the thing that makes this survive a 100 TB vocabulary)."""
+    from etl_finance_spark.operators.heavyhitters import (
+        frequent_items, topk_partials,
+    )
+
+    hitters = {"h0": 50_000, "h1": 30_000, "h2": 20_000}
+    n_bg = 1_000_000 - sum(hitters.values())
+    bg = spark.range(n_bg).select(
+        F.concat(F.lit("bg-"), (F.col("id") % 100_000)).alias("v")
+    )
+    planted = spark.range(sum(hitters.values())).select(
+        F.when(F.col("id") % 10 < 5, "h0")
+        .when(F.col("id") % 10 < 8, "h1")
+        .otherwise("h2").alias("v")
+    )
+    df = bg.unionAll(planted).repartition(32)
+    k = 40
+    parts = topk_partials(df, "v", k)
+    n_parts = df.rdd.getNumPartitions()
+    assert parts.count() <= (k + 1) * n_parts  # bounded exchange
+    got = {r.item: (r.lower, r.upper)
+           for r in frequent_items(df, "v", k).collect()}
+    slack_total = sum(
+        r.s for r in parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.first("slack").alias("s")).collect()
+    )
+    for h, f in hitters.items():
+        assert h in got, (h, slack_total)
+        lo, hi = got[h]
+        assert lo <= f <= hi and hi - lo <= slack_total, (h, lo, f, hi)
+        assert f > slack_total  # the premise that guarantees candidacy
