@@ -87,7 +87,11 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
     every item with f > Σ per-partition slack is guaranteed present.
     One tiny shuffle of (k+1)·partitions summary rows; the total-slack
     scalar broadcast-joins onto the candidate aggregate."""
-    partials = topk_partials(df, col, k)
+    # Two consumers need the summaries (the candidate aggregate and the
+    # total-slack scalar); persist the (k+1)·partitions-row frame —
+    # kilobytes — so the full input is scanned ONCE, not once per
+    # consumer. Evictable/spillable cache, never pinned heap.
+    partials = topk_partials(df, col, k).persist()
     # total slack over all partitions: each partition's rows repeat its
     # slack, so take it once per partition via the per-yield grain —
     # rows within one yield share identical (slack) and no other yield

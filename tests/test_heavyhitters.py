@@ -128,3 +128,23 @@ def test_top_tokens_on_documents_corpus(spark):
         assert tok in got
         lo, hi = got[tok]
         assert lo <= f <= hi
+
+
+def test_single_input_scan_via_cached_partials(spark):
+    """frequent_items has two consumers of the partition summaries
+    (candidate aggregate + total-slack scalar); the partials frame must
+    be cache-backed so the INPUT is scanned once, not once per
+    consumer — at 100 TB the difference between one pass and two. The
+    physical plan must read the summaries from an InMemoryRelation,
+    and the per-partition grain must survive the cache (slack sums
+    equal the uncached computation)."""
+    from conftest import explain_simple
+
+    orders = table(spark, SF_SMOKE, "orders").repartition(8)
+    out = frequent_items(orders, "o_custkey", k=10)
+    plan = explain_simple(spark, out)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    # grain check: bounds still sandwich exact counts through the cache
+    exact = _exact(orders, "o_custkey")
+    for r in out.collect():
+        assert r.lower <= exact[r.item] <= r.upper
