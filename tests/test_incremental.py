@@ -156,3 +156,39 @@ def test_streaming_partials_sink_is_idempotent_on_redelivery(spark):
         assert _rows(read_rollup(spark, target, KEYS, SPECS)) == want
     finally:
         shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_rollup_partials_through_a_real_stream(spark):
+    """End-to-end streaming maintenance: a file-source stream of events
+    drives foreach_batch_rollup_partials via writeStream.foreachBatch;
+    the merged-on-read rollup must equal the batch rollup over the
+    whole input (exact measures), whatever micro-batch boundaries the
+    source chose."""
+    from etl_finance_spark.catalog import table as cat_table
+    from etl_finance_spark.streaming.windows import read_event_stream
+
+    events = cat_table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="roll-src-")
+    target = tempfile.mkdtemp(prefix="roll-tgt-") + "/t"
+    keys = ["event_type"]
+    specs = {"total": ("sum", "value"), "n": ("count", None)}
+    try:
+        for i in range(3):
+            events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) \
+                .coalesce(1).write.mode("append").parquet(src)
+        stream = read_event_stream(spark, src, events.schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_rollup_partials(target, keys, specs)
+            ).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = _rows(read_rollup(spark, target, keys, specs))
+        want = _rows(finalize_state(
+            rollup_state(events, keys, specs), keys, specs
+        ))
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
