@@ -181,6 +181,20 @@ _DRIVER_WINDOW = (
 #     q_hll_union q_theta_setops q_kll_quantiles
 #   = 1 + 8 + 35 = 44 names; 6 slots spare for extra sentinels or any
 #   r04 reds (the five WEAK rows record rows-only checks).
+#
+# r06+ surface growth (declare once r05 closes full driver coverage;
+# the library ops and tests already exist — each just needs its
+# @register binding):
+#   q_frequent_items — operators/heavyhitters.frequent_items on a
+#     low-cardinality column with k above every per-partition distinct
+#     count, so slack == 0 and lower == upper == exact: the oracle is
+#     plain GROUP BY count(*) (alias item/lower/upper on both sides).
+#   q_rollup_merge — operators/incremental: merge two half-states and
+#     finalize; oracle = direct GROUP BY over the union (exact
+#     measures only: sum/count/min/max on integer-ish columns).
+#   q_stream_pair_outer — streaming/joins.followed_within(
+#     how="left_outer") batch form; oracle = LEFT JOIN with the same
+#     time band (a_id/b_id/a_user aliases as in q_stream_pair_join).
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

