@@ -574,3 +574,49 @@ def test_results_do_not_depend_on_input_split_size(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", before_oc)
+
+
+def test_results_do_not_depend_on_arrow_batch_size(spark):
+    """Deployment knob six: Arrow transfer batching. Every pandas-path
+    operator receives its partition as an ITERATOR of Arrow batches
+    whose boundaries ride spark.sql.execution.arrow.maxRecordsPerBatch
+    — state carried across batches (the UDAF partials, the
+    frequent-items accumulation, the multimodal per-row decode) must
+    make batch boundaries invisible in the rows. (A full 214-query
+    differential at maxRecordsPerBatch=7 ran green offline; this pins
+    the pandas-path subset plus the frequent-items library op, whose
+    cross-batch count accumulation is exactly what tiny batches
+    stress.)"""
+    names = ("q_udaf_weighted_avg", "q_udf_pandas",
+             "q_multimodal_features", "q_multimodal_frames")
+    from etl_finance_spark import registry
+    from etl_finance_spark.operators.heavyhitters import frequent_items
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    def fi_snapshot():
+        orders = table(spark, SF_SMOKE, "orders").repartition(8)
+        return sorted(
+            map(str, frequent_items(orders, "o_custkey", 20).collect())
+        )
+
+    baseline = {n: snapshot(n) for n in names}
+    fi_base = fi_snapshot()
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges at 7-row Arrow batches"
+            )
+        assert fi_snapshot() == fi_base, (
+            "frequent_items diverges at 7-row Arrow batches"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", before
+        )
