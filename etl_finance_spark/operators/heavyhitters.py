@@ -5,11 +5,11 @@ distinct, KLL = quantiles, theta = set algebra; operators/sketches.py).
 Why not ``groupBy(item).count().orderBy(...)``: the exact plan's
 shuffle carries one row per distinct item per input partition — for a
 100 TB token/URL/domain column that is the vocabulary itself, and the
-hot keys skew the exchange. Here each input partition emits exactly
+hot keys skew the exchange. Here each input partition emits at most
 ``k + 1`` rows (its top-k items with EXACT in-partition counts, plus
-one slack row = the (k+1)-th largest count), so the shuffle is
-``(k+1) × partitions`` rows regardless of vocabulary or skew, and the
-merge runs over candidates only.
+one NULL-item marker row carrying the partition's slack), so the
+shuffle is ``(k+1) × partitions`` rows regardless of vocabulary or
+skew, and the merge runs over candidates only.
 
 The truncation is lossy but ACCOUNTABLE (the SpaceSaving/Misra-Gries
 merge argument): an item absent from a partition's top-k has
@@ -30,7 +30,11 @@ The per-partition pass accumulates exact value counts across Arrow
 batches (vectorized pandas ``value_counts``, no per-row Python), so
 its memory is one (item → long) map per input partition — the same
 working set the exact plan's map-side hash aggregate holds; k only
-caps what leaves the partition. Undeclared library surface (no
+caps what leaves the partition. Items are canonicalized to STRING by
+Spark's own cast BEFORE the pandas pass, so item spelling follows SQL
+cast semantics (booleans as 'true'/'false', floats in Spark's
+notation), never Python ``str()`` — a join-back or SQL oracle on the
+item column sees identical keys. Undeclared library surface (no
 registry row yet), same status as operators/incremental.py.
 """
 
@@ -40,21 +44,20 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _PARTIALS_SCHEMA = "item string, cnt long, slack long"
 
 
 def topk_partials(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-input-partition summaries: the top-``k`` items by exact
-    in-partition count (ties broken by item for determinism) plus that
-    partition's slack — the largest count that did NOT make the cut
-    (0 when nothing was truncated). NULLs are not items and are
-    ignored. Output: (item, cnt, slack) with one shared slack value
-    repeated on the partition's rows — consumers re-derive the
-    per-partition grain with ``F.spark_partition_id()`` downstream of
-    NOTHING (each mapInPandas partition yields once, so rows from one
-    partition stay contiguous and carry identical slack; the merge
-    only ever uses (cnt, slack) sums, never partition identity)."""
+    in-partition count (ties broken by item string for determinism),
+    plus ONE marker row per non-empty partition — ``item`` NULL,
+    ``cnt`` 0 — carrying the partition's slack: the largest count that
+    did NOT make the cut (0 when nothing was truncated). Source NULLs
+    are not items and are ignored (the NULL item is therefore free to
+    be the marker sentinel). The column is cast to string by Spark
+    BEFORE the pandas pass (SQL cast spelling, see module doc)."""
     if k < 1:
         raise ValueError("k must be >= 1")
 
@@ -63,53 +66,49 @@ def topk_partials(df: DataFrame, col: str, k: int) -> DataFrame:
 
         acc: dict = {}
         for pdf in batches:
-            vc = pdf[col].dropna().value_counts()
+            vc = pdf["item"].dropna().value_counts()
             for item, n in vc.items():
-                key = str(item)
-                acc[key] = acc.get(key, 0) + int(n)
+                acc[item] = acc.get(item, 0) + int(n)
         if not acc:
             return
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         kept = ranked[:k]
         slack = ranked[k][1] if len(ranked) > k else 0
         yield pd.DataFrame({
-            "item": [i for i, _ in kept],
-            "cnt": [c for _, c in kept],
-            "slack": [slack] * len(kept),
+            "item": [i for i, _ in kept] + [None],
+            "cnt": [c for _, c in kept] + [0],
+            "slack": [slack] * (len(kept) + 1),
         })
 
-    return df.select(col).mapInPandas(summarize, _PARTIALS_SCHEMA)
+    return (
+        df.select(F.col(col).cast("string").alias("item"))
+        .mapInPandas(summarize, _PARTIALS_SCHEMA)
+    )
 
 
 def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
     """Candidate heavy hitters of ``df[col]`` with deterministic count
     bounds: (item, lower, upper), where lower ≤ f(item) ≤ upper and
     every item with f > Σ per-partition slack is guaranteed present.
-    One tiny shuffle of (k+1)·partitions summary rows; the total-slack
-    scalar broadcast-joins onto the candidate aggregate."""
-    # Two consumers need the summaries (the candidate aggregate and the
-    # total-slack scalar); persist the (k+1)·partitions-row frame —
-    # kilobytes — so the full input is scanned ONCE, not once per
-    # consumer. Evictable/spillable cache, never pinned heap.
-    partials = topk_partials(df, col, k).persist()
-    # total slack over all partitions: each partition's rows repeat its
-    # slack, so take it once per partition via the per-yield grain —
-    # rows within one yield share identical (slack) and no other yield
-    # interleaves in the SAME task; distinct on (slack) alone would
-    # collide across partitions, so carry a per-partition discriminator
-    # computed at the source: spark_partition_id() inside the SAME
-    # narrow stage that produced the rows.
-    partials = partials.withColumn("pid", F.spark_partition_id())
-    per_part = partials.groupBy("pid").agg(F.first("slack").alias("slack"))
-    total = per_part.agg(
-        F.coalesce(F.sum("slack"), F.lit(0)).alias("total_slack")
-    )
-    cand = partials.groupBy("item").agg(
+
+    The plan is one LINEAR chain — the input is scanned exactly once,
+    with no cache and no branch: the summaries aggregate by item (one
+    tiny shuffle of ≤ (k+1)·partitions rows), where the NULL-item
+    marker group's slack sum IS the total slack (one marker per
+    partition); a single-partition window over the aggregated
+    candidates — bounded by (k+1)·partitions rows, never by data —
+    spreads that total onto every candidate row."""
+    agg = topk_partials(df, col, k).groupBy("item").agg(
         F.sum("cnt").alias("lower"),
         F.sum("slack").alias("present_slack"),
     )
+    w = Window.partitionBy()  # candidate-bounded, not data-bounded
+    total = F.max(
+        F.when(F.col("item").isNull(), F.col("present_slack"))
+    ).over(w)
     return (
-        cand.crossJoin(F.broadcast(total))
+        agg.withColumn("total_slack", F.coalesce(total, F.lit(0)))
+        .filter(F.col("item").isNotNull())
         .select(
             "item",
             "lower",

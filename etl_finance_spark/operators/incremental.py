@@ -89,6 +89,8 @@ def merge_states(states: Sequence[DataFrame], keys: Sequence[str],
     only some states merges from those alone — an empty delta is a
     no-op by construction."""
     _check(specs)
+    if not states:
+        raise ValueError("merge_states needs at least one state frame")
     merge = {
         "sum": lambda c: F.sum(c),
         "count": lambda c: F.sum(c).cast("long"),

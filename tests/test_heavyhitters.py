@@ -24,11 +24,11 @@ def _exact(df, col):
 
 
 def _total_slack(df, col, k):
-    parts = topk_partials(df, col, k).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    rows = parts.groupBy("pid").agg(F.first("slack").alias("s")).collect()
-    return sum(r.s for r in rows)
+    # one NULL-item marker row per non-empty partition carries slack
+    rows = topk_partials(df, col, k).filter(
+        F.col("item").isNull()
+    ).collect()
+    return sum(r.slack for r in rows)
 
 
 def test_bounds_sandwich_exact_counts(spark):
@@ -43,13 +43,26 @@ def test_bounds_sandwich_exact_counts(spark):
 
 
 def test_no_false_negatives_above_slack_threshold(spark):
-    orders = table(spark, SF_SMOKE, "orders").repartition(8)
-    col = "o_orderpriority"  # 5 hot values — all far above slack
-    k = 3  # fewer counters than distinct values → real truncation
-    s = _total_slack(orders, col, k)
-    cand = {r.item for r in frequent_items(orders, col, k=k).collect()}
-    exact = _exact(orders, col)
-    missed = {i for i, f in exact.items() if f > s} - cand
+    """Constructed skew so the premise is guaranteed non-vacuous: one
+    item holds half the rows, a 40-value uniform background forces
+    real truncation at k=3. The hot item's count must clear Σ slack
+    (asserted — a vacuous pass is itself a failure) and therefore
+    must be a candidate."""
+    n = 8_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "hot")
+        .otherwise(F.concat(F.lit("bg-"), F.col("id") % 40))
+        .alias("v")
+    ).repartition(8)
+    k = 3
+    s = _total_slack(df, "v", k)
+    exact = _exact(df, "v")
+    above = {i for i, f in exact.items() if f > s}
+    assert "hot" in above, (
+        f"premise vacuous: hot count {exact['hot']} <= total slack {s}"
+    )
+    cand = {r.item for r in frequent_items(df, "v", k=k).collect()}
+    missed = above - cand
     assert missed == set(), f"guaranteed items missing: {missed}"
 
 
@@ -77,17 +90,22 @@ def test_recovers_hitter_spread_thin_across_partitions(spark):
     assert hi - lo <= s  # uncertainty never exceeds total slack
 
 
-def test_partials_truncate_to_k_plus_slack(spark):
+def test_partials_truncate_to_k_plus_marker(spark):
     orders = table(spark, SF_SMOKE, "orders").repartition(8)
     k = 5
     parts = topk_partials(orders, "o_custkey", k).withColumn(
         "pid", F.spark_partition_id()
     )
     per = parts.groupBy("pid").agg(
-        F.count(F.lit(1)).alias("n"), F.first("slack").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("item").isNull(), 1)).alias("markers"),
+        F.min("slack").alias("s"),
     )
-    for r in per.collect():
-        assert r.n <= k            # at most k rows leave a partition
+    rows = per.collect()
+    assert rows
+    for r in rows:
+        assert r.n <= k + 1      # top-k + the one slack marker row
+        assert r.markers == 1    # exactly one marker per partition
         assert r.s >= 0
 
 
@@ -130,21 +148,33 @@ def test_top_tokens_on_documents_corpus(spark):
         assert lo <= f <= hi
 
 
-def test_single_input_scan_via_cached_partials(spark):
-    """frequent_items has two consumers of the partition summaries
-    (candidate aggregate + total-slack scalar); the partials frame must
-    be cache-backed so the INPUT is scanned once, not once per
-    consumer — at 100 TB the difference between one pass and two. The
-    physical plan must read the summaries from an InMemoryRelation,
-    and the per-partition grain must survive the cache (slack sums
-    equal the uncached computation)."""
+def test_single_input_scan_by_construction(spark):
+    """frequent_items needs the per-item sums AND the total-slack
+    scalar; a branched plan would scan the input once per consumer —
+    two passes over 100 TB for one summary. The NULL-marker design
+    keeps the plan one linear chain (total slack is just the marker
+    group's slack sum, spread by a candidate-bounded window), so the
+    physical plan contains EXACTLY ONE scan of the input and no
+    cached relation."""
     from conftest import explain_simple
 
     orders = table(spark, SF_SMOKE, "orders").repartition(8)
     out = frequent_items(orders, "o_custkey", k=10)
     plan = explain_simple(spark, out)
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
-    # grain check: bounds still sandwich exact counts through the cache
+    assert plan.count("orders.parquet") == 1, plan
+    assert "InMemoryRelation" not in plan
     exact = _exact(orders, "o_custkey")
     for r in out.collect():
         assert r.lower <= exact[r.item] <= r.upper
+
+
+def test_items_use_sql_cast_spelling(spark):
+    """Item strings must follow Spark's CAST-to-string semantics, not
+    Python str(): a boolean column yields 'true'/'false' (matching any
+    SQL oracle or join-back on the source column), never
+    'True'/'False'."""
+    df = spark.createDataFrame(
+        [(True,), (True,), (False,), (None,)], "v boolean"
+    )
+    got = {r.item: r.lower for r in frequent_items(df, "v", k=5).collect()}
+    assert got == {"true": 2, "false": 1}

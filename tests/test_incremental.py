@@ -135,6 +135,10 @@ def test_bad_specs_rejected(spark):
         rollup_state(orders, KEYS, {"x": ("median", "o_totalprice")})
     with pytest.raises(ValueError, match="needs a source column"):
         rollup_state(orders, KEYS, {"x": ("sum", None)})
+    # empty state list is a clear error, not a bare StopIteration
+    # (which PEP 479 would morph into RuntimeError inside generators)
+    with pytest.raises(ValueError, match="at least one state"):
+        merge_states([], KEYS, SPECS)
 
 
 def test_streaming_partials_sink_is_idempotent_on_redelivery(spark):

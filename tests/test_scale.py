@@ -493,7 +493,9 @@ def test_task_retry_reruns_partition_without_changing_results():
     import tempfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sentinel = tempfile.mktemp(prefix="retry-sentinel-")
+    sentinel = os.path.join(
+        tempfile.mkdtemp(prefix="retry-wit-"), "sentinel"
+    )
     script = r"""
 import sys
 sys.path.insert(0, %(repo)r)
@@ -534,8 +536,15 @@ print("DONE")
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "DONE" in out.stdout, out.stdout[-2000:]
+    # a missing sentinel means the injection never fired — that is the
+    # vacuous-witness failure, not an unrelated traceback
+    assert os.path.exists(sentinel), (
+        "injected failure never fired — witness vacuous"
+    )
     with open(sentinel) as fh:
         fired = fh.read().count("fired")
+    import shutil
+    shutil.rmtree(os.path.dirname(sentinel), ignore_errors=True)
     assert fired >= 1, "injected failure never fired — witness vacuous"
 
 

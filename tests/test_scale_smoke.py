@@ -478,8 +478,7 @@ def test_frequent_items_closed_form_at_1m_rows(spark):
     got = {r.item: (r.lower, r.upper)
            for r in frequent_items(df, "v", k).collect()}
     slack_total = sum(
-        r.s for r in parts.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid").agg(F.first("slack").alias("s")).collect()
+        r.slack for r in parts.filter(F.col("item").isNull()).collect()
     )
     for h, f in hitters.items():
         assert h in got, (h, slack_total)
