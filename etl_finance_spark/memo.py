@@ -13,13 +13,27 @@ session's DataFrame is unusable and would pin driver memory for the
 life of the process). Values are persist()-ed or localCheckpoint-ed
 frames, so the storage held is evictable/spillable cache, never pinned
 heap.
-"""
+
+Access is serialized by one module lock: concurrent queries on a
+shared session (the witnessed warehouse mode) otherwise race the
+eviction scan against an insert ("dict changed size during
+iteration") or double-delete a stale key. The lock covers the build
+too — two threads missing the same key must not both run the
+expensive build and double-persist; the loser would leak its cached
+frame. Build latency under the lock is construction-only (builds
+return lazy/non-eager frames; materialization happens outside, at
+first action). It is an RLock because builds NEST: the IVF model
+build calls back into the corpus memo (llm/similarity.py), and a
+plain Lock would self-deadlock the single calling thread there."""
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.RLock()
 
 
 def session_memo(memo: dict[tuple[str, str], DataFrame],
@@ -28,11 +42,12 @@ def session_memo(memo: dict[tuple[str, str], DataFrame],
     """Return memo[(appId, sf_dir)], building (and caching) on miss;
     drops entries belonging to other (dead) applications first."""
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in memo if k[0] != app_id]:
-        del memo[k]
-    key = (app_id, sf_dir)
-    df = memo.get(key)
-    if df is None:
-        df = build()
-        memo[key] = df
-    return df
+    with _LOCK:
+        for k in [k for k in list(memo) if k[0] != app_id]:
+            memo.pop(k, None)
+        key = (app_id, sf_dir)
+        df = memo.get(key)
+        if df is None:
+            df = build()
+            memo[key] = df
+        return df

@@ -159,8 +159,27 @@ def range_join_following(events: DataFrame, key: str, ts_col: str,
     follower emit nothing — inner-join semantics). Bucketed interval
     join: left rows keep their floor(sec/bound_s) bucket, right rows
     replicate to {bucket, bucket-1}, and the exact µs-precision range
-    predicate evaluates inside the (key, bucket) equi-match."""
-    sec = F.unix_timestamp(F.col(ts_col))
+    predicate evaluates inside the (key, bucket) equi-match.
+
+    The bucket's epoch seconds derive per dtype: TIMESTAMP_NTZ uses
+    pure NTZ arithmetic (timestampdiff from the NTZ epoch) — NEVER
+    ``unix_timestamp``, which converts through the session timezone,
+    so under a DST zone the wall-clock delta and the epoch delta
+    disagree and a qualifying pair can straddle 2 buckets and silently
+    drop out of the cover (the range predicate compares the raw NTZ
+    values, so the bucket metric must be consistent with it). Instant
+    TIMESTAMP is already epoch-based and uses unix_timestamp directly.
+    Post-1970 timestamps assumed (timestampdiff truncates toward zero,
+    so pre-epoch values would bucket off-by-one)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        sec = F.expr(
+            "timestampdiff(SECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        sec = F.unix_timestamp(F.col(ts_col))
     b = F.floor(sec / bound_s)
     e1 = events.select(id_col, key, ts_col, b.alias("b")).alias("e1")
     e2 = events.select(

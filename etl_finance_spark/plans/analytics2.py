@@ -52,7 +52,11 @@ def _pagerank_oracle() -> str:
         SELECT node, 1.0 / n AS pr FROM nodes, nn
     )"""
     step = """, it{k} AS (
-        SELECT s.dst AS node, sum(p.pr / d.deg) AS contrib
+        -- pr * (1.0 / deg), NOT pr / deg: the Spark side folds the
+        -- reciprocal into the edge weight once (operators/graphs.py),
+        -- and a*(1/b) differs from a/b by up to 1 ulp — matching the
+        -- operand shape keeps every term bit-identical across engines
+        SELECT s.dst AS node, sum(p.pr * (1.0 / d.deg)) AS contrib
         FROM sym s
         JOIN pr{j} p ON p.node = s.src
         JOIN deg d ON d.node = s.src

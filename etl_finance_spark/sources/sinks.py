@@ -140,10 +140,15 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
           for i, c in enumerate(cols)],
     )
     with_stats = df.crossJoin(F.broadcast(stats))
+    # the NULL/degenerate fallback must sit INSIDE least(): Spark's
+    # least() SKIPS null operands (returns null only when all are), so
+    # least(255, null) = 255 and an outer coalesce never fires — NULL
+    # values and min==max columns would silently rank into the TOP
+    # bucket instead of the documented 0
     ranks = [
-        F.coalesce(
-            F.least(
-                F.lit(nb - 1),
+        F.least(
+            F.lit(nb - 1),
+            F.coalesce(
                 F.floor(
                     F.try_divide(
                         F.col(c).cast("double") - F.col(f"__lo{i}"),
@@ -151,8 +156,8 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
                     )
                     * nb
                 ),
+                F.lit(0),
             ),
-            F.lit(0),
         ).cast("long")
         for i, c in enumerate(cols)
     ]

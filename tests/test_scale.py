@@ -629,3 +629,51 @@ def test_results_do_not_depend_on_arrow_batch_size(spark):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", before
         )
+
+
+def test_range_join_bucket_cover_survives_dst_session_timezone(spark):
+    """The bucketed interval join's cover must hold under a DST session
+    timezone: NTZ wall-clock timestamps around a fall-back transition
+    have epoch deltas ≠ wall-clock deltas, so a bucket metric routed
+    through unix_timestamp() (session-tz conversion) would let a
+    qualifying pair straddle 2 buckets and drop out of the equi-match.
+    The bucket now derives from pure NTZ arithmetic; the result under
+    America/New_York must equal the brute-force join and the UTC run."""
+    import datetime as dt
+
+    from etl_finance_spark.operators.joins import range_join_following
+
+    # rows 30 min apart across the 2024-11-03 01:00-02:00 fall-back
+    base = dt.datetime(2024, 11, 3, 0, 30)
+    rows = [(i, 1, base + dt.timedelta(minutes=30 * i)) for i in range(8)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+
+    def brute(df):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("b.user_id") == F.col("a.user_id"))
+                & (F.col("b.event_id") != F.col("a.event_id"))
+                & (F.col("b.ts") > F.col("a.ts"))
+                & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .groupBy(F.col("a.event_id").alias("event_id"))
+            .agg(F.count(F.lit(1)).alias("n_following"))
+        )
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = snap(brute(ev))
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = snap(range_join_following(ev, "user_id", "ts",
+                                            "event_id", 3600))
+            assert got == want, f"cover broke under {tz}: {got} != {want}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)

@@ -468,3 +468,49 @@ class TestXml:
         ).select(F.col("p.k").alias("k"), F.col("p.v").alias("v"))
         assert {(r.k, r.v) for r in parsed.collect()} == {
             (r.n_nationkey, r.n_name) for r in nation.collect()}
+
+
+class TestZorderNullPlacement:
+    def test_null_cluster_values_rank_into_the_bottom_bucket(
+            self, spark, tmp_path):
+        """NULLs in a clustering column must rank 0 (the documented
+        contract): least() SKIPS null operands, so a fallback outside
+        least() is dead code and NULLs would silently rank into the
+        TOP bucket, interleaving null rows with genuine max-value rows
+        and poisoning footer-stat pruning for high-range predicates.
+        Pin placement physically: every output file that contains
+        null-y rows must sit in the LOW part of the y range, never
+        with the y-max rows."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from etl_finance_spark.sources.sinks import write_zorder
+
+        df = spark.range(2000).select(
+            (F.col("id") % 1024).alias("x"),
+            F.when(F.col("id") < 500, None)
+            .otherwise(512 + F.col("id") % 512).alias("y"),
+        )
+        path = str(tmp_path / "znull")
+        write_zorder(df, path, ["x", "y"], n_files=8)
+        saw_nulls = False
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            nulls = 0
+            y_max = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "y" and col.is_stats_set:
+                        nulls += col.statistics.null_count
+                        if col.statistics.max is not None:
+                            y_max = max(y_max or 0, col.statistics.max)
+            if nulls:
+                saw_nulls = True
+                assert y_max is None or y_max < 768, (
+                    f"null-y rows landed in a top-bucket file "
+                    f"(y_max={y_max}) — NULL ranked high, not 0"
+                )
+        assert saw_nulls

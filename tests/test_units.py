@@ -364,6 +364,65 @@ def test_session_memo_builds_once_and_evicts_dead_sessions(spark):
     assert set(memo) == {(app, "/sf"), (app, "/other-sf")}
 
 
+def test_session_memo_cold_start_race_builds_once(spark):
+    """COLD-memo concurrency: the eviction scan, the miss check, and
+    the insert run under one lock — without it, simultaneous first
+    callers race the dict ('changed size during iteration' /
+    double-del KeyError) and both run the expensive build,
+    double-persisting one frame. A barrier start maximizes overlap;
+    exactly one build may run and every thread must get that frame."""
+    import threading
+
+    from etl_finance_spark.memo import session_memo
+
+    memo: dict = {("dead-app", f"/sf{i}"): spark.range(1)
+                  for i in range(8)}
+    calls, results, errors = [], [], []
+    barrier = threading.Barrier(8)
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    def worker():
+        try:
+            barrier.wait(timeout=30)
+            results.append(session_memo(memo, spark, "/cold", build))
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert errors == []
+    assert len(calls) == 1, f"{len(calls)} concurrent builds ran"
+    assert len(results) == 8
+    assert all(r is results[0] for r in results)
+
+
+def test_session_memo_builds_may_nest(spark):
+    """Memoized builds NEST in production — the IVF model memo's build
+    calls back into the corpus memo (llm/similarity.py) — so the memo
+    lock must be reentrant. With a plain Lock this deadlocks the
+    single calling thread forever (it hung the driver simulation
+    mid-t2); the test would time out rather than fail, so keep it
+    fast and first-line."""
+    from etl_finance_spark.memo import session_memo
+
+    inner: dict = {}
+    outer: dict = {}
+
+    def build_outer():
+        base = session_memo(inner, spark, "/sf", lambda: spark.range(2))
+        return base.selectExpr("id * 2 AS id")
+
+    got = session_memo(outer, spark, "/sf", build_outer)
+    assert [r.id for r in got.collect()] == [0, 2]
+    assert len(inner) == 1 and len(outer) == 1
+
+
 def test_concurrent_queries_share_one_session_safely(spark):
     """Warehouse concurrency witness: a real deployment runs many
     queries on ONE SparkSession at once, so the session-shared state
