@@ -36,7 +36,38 @@ results both modes, reliable files actually written).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Frames persisted by NON-eager reliable cuts. An eager cut unpersists
+# right after the checkpoint write; a non-eager cut cannot (the write
+# happens at the frame's first action, after this function returned), so
+# the persist would otherwise pin a cached copy for the session lifetime
+# — one per iteration per iterative query on checkpoint-dir deployments.
+# Each iterative operator calls release_cuts() at build start, so at any
+# moment at most one query's cuts stay registered (bounded, not
+# session-cumulative). Unpersisting early is always safe: persist is a
+# recompute-avoidance hint, never a correctness dependency.
+_PENDING_UNPERSIST: list[DataFrame] = []
+_PENDING_LOCK = threading.Lock()
+
+
+def release_cuts() -> int:
+    """Unpersist every frame a non-eager reliable cut persisted and
+    clear the registry; returns how many were released. Idempotent and
+    safe at any time — a released frame's checkpoint (materialized or
+    not) still serves its consumers; an unmaterialized one merely
+    recomputes once more at its first action."""
+    with _PENDING_LOCK:
+        frames = list(_PENDING_UNPERSIST)
+        _PENDING_UNPERSIST.clear()
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    return len(frames)
 
 
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -54,7 +85,11 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         if ours:
             df.persist()
         out = df.checkpoint(eager=eager)
-        if eager and ours:
-            df.unpersist()
+        if ours:
+            if eager:
+                df.unpersist()
+            else:
+                with _PENDING_LOCK:
+                    _PENDING_UNPERSIST.append(df)
         return out
     return df.localCheckpoint(eager=eager)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_finance_spark.lineage import cut_lineage
+from etl_finance_spark.lineage import cut_lineage, release_cuts
 
 
 def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
@@ -41,6 +41,10 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
     # plan sweeps and driver passes build every query before running
     # any). Lineage still truncates at construction — the cut returns a
     # LogicalRDD — and each pass caches on first materialization.
+    # Previous iterative queries' non-eager persists release here, so
+    # the block-manager registry stays bounded across queries (ADVICE
+    # r4: iters+2 frames per call pinned for the session otherwise).
+    release_cuts()
     sym = cut_lineage(edges.withColumn(
         "w",
         F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
@@ -107,7 +111,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     # the oriented frame feeds all three join branches — cut lineage
     # once (non-eager: building the query must not run a job) or each
-    # branch re-executes the degree joins
+    # branch re-executes the degree joins; release prior queries'
+    # non-eager persists first (bounded block-manager registry)
+    release_cuts()
     o = cut_lineage(g.select(
         F.when(p1_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(p1_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),

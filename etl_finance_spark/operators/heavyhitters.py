@@ -34,8 +34,10 @@ caps what leaves the partition. Items are canonicalized to STRING by
 Spark's own cast BEFORE the pandas pass, so item spelling follows SQL
 cast semantics (booleans as 'true'/'false', floats in Spark's
 notation), never Python ``str()`` — a join-back or SQL oracle on the
-item column sees identical keys. Undeclared library surface (no
-registry row yet), same status as operators/incremental.py.
+item column sees identical keys. Declared surface: ``q_frequent_items``
+below runs the summary-merge plan in its exact regime (k above every
+per-partition distinct count → slack 0 → lower == upper == f), so the
+DuckDB GROUP BY oracle checks the whole machinery bit-for-bit.
 """
 
 from __future__ import annotations
@@ -115,4 +117,46 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
             (F.col("lower") + F.col("total_slack")
              - F.col("present_slack")).alias("upper"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared query
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from etl_finance_spark.catalog import table  # noqa: E402
+from etl_finance_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q_frequent_items",
+    oracle="""
+    SELECT event_type AS item,
+           count(*) AS cnt_lo,
+           count(*) AS cnt_hi
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over events.event_type with the bounded-shuffle
+    summary-merge plan, run in its EXACT regime: k = 1000 exceeds every
+    per-partition distinct count of the enum-like column at any sf
+    (5 event types), so every partition's slack is 0 and the
+    deterministic bounds COLLAPSE — lower == upper == the true count,
+    at any partitioning. That makes the plain GROUP BY oracle an exact
+    check of the whole candidate/slack machinery (the bound sandwich,
+    no-false-negative floor, and planted-hitter recovery under real
+    truncation are pinned in tests/test_heavyhitters.py). At 100 TB the
+    same plan over an unbounded URL/token column still shuffles only
+    (k+1) rows per partition — the point of the operator."""
+    ev = table(spark, sf_dir, "events")
+    out = frequent_items(ev, "event_type", 1000)
+    return out.select(
+        "item",
+        F.col("lower").alias("cnt_lo"),
+        F.col("upper").alias("cnt_hi"),
     )

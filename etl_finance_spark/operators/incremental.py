@@ -38,8 +38,11 @@ same operation at rest.
 
 Measure kinds: ``sum`` / ``min`` / ``max`` (column-typed), ``count``
 (rows; long), ``hll`` (distinct-estimate sketch, binary state).
-Undeclared engine surface (no registry row yet): exercised by
-tests/test_incremental.py until a driver-window slot frees up.
+Declared surface: ``q_rollup_merge`` below splits the fact in two,
+builds a state per half, merges and finalizes — the DuckDB oracle is
+the direct GROUP BY over the union, so the merge identity itself is
+what the driver hash-checks (random-split form in
+tests/test_incremental.py).
 """
 
 from __future__ import annotations
@@ -163,3 +166,53 @@ def read_rollup(spark: SparkSession, path: str, keys: Sequence[str],
     Compaction is the same merge written back as one partition."""
     parts = spark.read.parquet(path).drop("batch_id")
     return finalize_state(merge_states([parts], keys, specs), keys, specs)
+
+
+# ---------------------------------------------------------------------------
+# Declared query
+# ---------------------------------------------------------------------------
+
+from etl_finance_spark.catalog import table  # noqa: E402
+from etl_finance_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q_rollup_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup merge identity, driver-checked end to end:
+    the fact splits into two disjoint halves (even/odd orderkey — the
+    'yesterday's rollup + today's delta' shape), each half builds keyed
+    state, `merge_states` folds them, `finalize_state` projects. The
+    oracle is the direct GROUP BY over the WHOLE table, so the check
+    is exactly merge(state(A), state(B)) == state(A ∪ B). Measures are
+    the exact-mergeable kinds only: quantity casts to long BEFORE
+    summing (integral 1..50 by TPC-H construction; double re-addition
+    order would differ between the merged and direct plans), count
+    re-sums, min/max re-extremize with no arithmetic. Refresh cost at
+    100 TB is |delta| + |rollup| — the half-states here stand in for a
+    stored rollup and a new day's partial."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty_l"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    specs: Mapping[str, Spec] = {
+        "sum_qty": ("sum", "qty_l"),
+        "n_rows": ("count", None),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }
+    half_a = rollup_state(li.filter(F.col("l_orderkey") % 2 == 0), keys, specs)
+    half_b = rollup_state(li.filter(F.col("l_orderkey") % 2 == 1), keys, specs)
+    merged = merge_states([half_a, half_b], keys, specs)
+    return finalize_state(merged, keys, specs)

@@ -173,6 +173,11 @@ def range_join_following(events: DataFrame, key: str, ts_col: str,
     so pre-epoch values would bucket off-by-one)."""
     from pyspark.sql.types import TimestampNTZType
 
+    if bound_s < 1:
+        # floor(sec / bound_s) would raise DIVIDE_BY_ZERO at runtime
+        # under ANSI mode (or bucket nonsense for negatives) — fail
+        # loud and early instead
+        raise ValueError(f"bound_s must be >= 1 second, got {bound_s}")
     if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
         sec = F.expr(
             "timestampdiff(SECOND,"
@@ -180,17 +185,20 @@ def range_join_following(events: DataFrame, key: str, ts_col: str,
         )
     else:
         sec = F.unix_timestamp(F.col(ts_col))
+    # collision-proof internal name (mirrors __zkey/__salt elsewhere):
+    # a caller whose frame already carries a column named like the
+    # bucket must not hit an ambiguous-reference failure
     b = F.floor(sec / bound_s)
-    e1 = events.select(id_col, key, ts_col, b.alias("b")).alias("e1")
+    e1 = events.select(id_col, key, ts_col, b.alias("__bucket")).alias("e1")
     e2 = events.select(
         id_col, key, ts_col,
-        F.explode(F.array(b, b - 1)).alias("b"),
+        F.explode(F.array(b, b - 1)).alias("__bucket"),
     ).alias("e2")
     return (
         e1.join(
             e2,
             (F.col(f"e2.{key}") == F.col(f"e1.{key}"))
-            & (F.col("e2.b") == F.col("e1.b"))
+            & (F.col("e2.__bucket") == F.col("e1.__bucket"))
             & (F.col(f"e2.{id_col}") != F.col(f"e1.{id_col}"))
             & (F.col(f"e2.{ts_col}") > F.col(f"e1.{ts_col}"))
             & (F.col(f"e2.{ts_col}")

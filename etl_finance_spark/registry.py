@@ -64,137 +64,100 @@ _QUERY_MODULES = (
     "etl_finance_spark.functions.semistructured",
     "etl_finance_spark.sources.pysource",
     "etl_finance_spark.plans.sql_surface",
+    "etl_finance_spark.operators.heavyhitters",
+    "etl_finance_spark.operators.incremental",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order
 # queries()/oracle_sql() iterate, so collect() re-orders its output:
 # the names below come first (in this order), everything else follows
 # in registration order. This replaces the round-1/2 module-rotation
-# trick with per-query control. Round-4 composition (exactly 50):
-#   1 flagship, the once-red q_bool_aggs (historical fix stays
-#   driver-watched), the three r03-green queries whose PLANS changed
-#   this round (broadcast-hint sweep: regional_revenue, revenue_topk,
-#   large_orders — fix-recheck doubles as family sentinel), then 45
-#   never-driver-checked queries: the twice-slipped raw-scan pair
-#   (top-10 this time, per VERDICT r3 #1), the thrice-deferred
-#   functions.families scalars (14), the TPC-H sweep (17 — includes
-#   the hint-swept market_share/top_supplier/...), the rebuilt
-#   q_yoy_growth + q_pagerank, sql_surface (4), VARIANT (2), the
-#   Python Data Source, and 3 corpus-assembly queries.
+# trick with per-query control. Round-5 composition (exactly 50,
+# derived by scripts/plan_window.py from CORRECTNESS_r01-r04 — all 50
+# r04 rows came back hash-green, so no red rechecks): 1 flagship, the
+# FINAL 38 never-driver-checked queries (the 35-query r04 remainder —
+# finance tier, analytics2/3 remainder, corpus remainder, aggregates
+# tier 3, sketches (WEAK rows-only), embed_standardize, explode_outer,
+# semantic_dedup — plus the 3 queries newly declared THIS round
+# straight into the window: q_frequent_items, q_rollup_merge,
+# q_stream_pair_outer), then 11 sentinels: one green query per family
+# plus the two whose internals changed this round (q_pagerank —
+# lineage release_cuts; q_join_range — range_join_following bucket
+# rename) and the historically-red q_bool_aggs. After this window
+# every declared query has a driver row — coverage evidence closes.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # historical-red sentinel
-    "q_bool_aggs",
-    # plan changed this round (forced-broadcast sweep) — re-verify
-    "q_regional_revenue",
-    "q_revenue_topk",
-    "q_large_orders",
-    # raw-scan pair, twice slipped at positions 51-52 — top-10 now
-    "q_time_range_scan",
-    "q_profile_events",
-    # functions.families scalar families (14, deferred r01-r03)
-    "q_select_exprs",
-    "q_nullif_coalesce",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_array_funcs",
-    "q_try_cast",
-    "q_array_funcs2",
-    "q_bitwise",
-    "q_greatest_least",
-    "q_str_pad",
-    "q_map_funcs",
-    "q_array_hof3",
-    "q_map_funcs2",
-    # TPC-H sweep (plans/tpch2 + tpch3, 17 — Q2/Q9/Q17/Q20 correlated
-    # shapes are the riskiest SQL in the repo; market_share/top_supplier/
-    # suppliers_waiting/promo/disjunctive also carry this round's hint
-    # sweep)
-    "q_pricing_summary",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_stock",
-    "q_supplier_cnt",
-    "q_small_qty_revenue",
-    "q_excess_suppliers",
-    "q_priority_wait",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_shipmode_priority",
-    "q_custdist",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_disjunctive_rev",
-    "q_suppliers_waiting",
-    "q_idle_customers",
-    # rebuilt this round (yoy hint drop; pagerank degree-fold)
-    "q_yoy_growth",
+    # never-checked remainder (38): aggregates tier 3 + reshape
+    "q_explode_outer",
+    "q_bitmap_distinct",
+    "q_mode_by_group",
+    "q_moments",
+    "q_regr_ols",
+    # corpus assembly remainder + semantic dedup (WEAK)
+    "q_semantic_dedup",
+    "q_domain_mix",
+    "q_source_cap",
+    "q_pii_redact",
+    "q_chunk_windows",
+    "q_array_agg_distinct",
+    "q_corpus_stats",
+    # analytics2/3 remainder
+    "q_event_transitions",
+    "q_ohlc_daily_reagg",
+    "q_sessionize_gaps",
+    "q_scd2_build",
+    "q_dq_expectations",
+    "q_triangle_count",
+    "q_ewma",
+    "q_embed_standardize",
+    # finance indicator tier (11)
+    "q_drawdown",
+    "q_bollinger",
+    "q_vwap",
+    "q_rsi",
+    "q_stochastic",
+    "q_obv",
+    "q_macd",
+    "q_beta",
+    "q_atr",
+    "q_golden_cross",
+    "q_sharpe",
+    # mergeable sketches (WEAK by nature — rows-only driver rows)
+    "q_hll_distinct",
+    "q_hll_union",
+    "q_theta_setops",
+    "q_kll_quantiles",
+    # declared this round, checked this round (zero evidence debt)
+    "q_stream_pair_outer",
+    "q_frequent_items",
+    "q_rollup_merge",
+    # sentinels: plan-changed rechecks first, then one per green family
     "q_pagerank",
-    # modern SQL surface
-    "q_recursive_bfs",
-    "q_lateral_topn",
-    "q_null_semantics",
-    "q_pivot_multi",
-    # VARIANT + Python Data Source
+    "q_join_range",
+    "q_bool_aggs",
+    "q_select_exprs",
     "q_variant_get",
-    "q_variant_agg",
-    "q_python_datasource",
-    # corpus assembly (first 3 of the family; rest in round 5)
+    "q_dedup_clusters",
     "q_decontaminate",
-    "q_pack_contexts",
-    "q_span_dedup",
+    "q_dedup_text",
+    "q_multimodal_meta",
+    "q_repetition_score",
+    "q_cosine_topk",
 )
 
-# Round-5 rotation backlog (never driver-checked after the r04 window,
-# 35 left — recount: 214 total − 134 green through r03 − 45 new in this
-# window): plans.finance (11 indicators), plans.analytics3 (sessionize,
-# scd2, dq, triangles, ewma), analytics2 remainder (q_event_transitions,
-# q_ohlc_daily_reagg), corpus remainder (q_domain_mix, q_source_cap,
-# q_pii_redact, q_chunk_windows, q_corpus_stats, q_array_agg_distinct +
-# WEAK q_semantic_dedup), aggregates tier 3 (q_bitmap_distinct,
-# q_mode_by_group, q_moments, q_regr_ols), q_explode_outer,
-# q_embed_standardize, and the 4 WEAK sketches (rows-only). 35 + flagship
-# + sentinels fits ONE final window — full driver coverage closes in r05.
+# Rotation bookkeeping. Surface at round 5: 217 declared (214 frozen
+# through r04 + 3 declared in r05 directly into the window). After the
+# r05 window runs, NOTHING remains never-driver-checked — every query
+# has a CORRECTNESS_r* row (hash-green, or rows-only for the WEAK
+# oracle=None set). From r06 on the window budget is: flagship + any
+# red rechecks + newly declared queries (declare-with-evidence: a new
+# query enters the same round's window or doesn't get declared) +
+# family sentinels rotating through the green families.
 #
 # `python scripts/plan_window.py` derives the next rotation from the
 # recorded CORRECTNESS_r*.json evidence (reds first, then
-# never-checked, then family sentinels) — run it at round start and
-# reconcile with the hand-drafted list below.
-#
-# DRAFT r05 window (apply at round-5 start, after CORRECTNESS_r04
-# confirms the r04 rows; verify len == 50 and adjust sentinels to any
-# r04 reds first):
-#   flagship: q_pct_change_hourly
-#   sentinels (one per r04-green family + plan-changed recheck):
-#     q_bool_aggs, q_str_funcs, q_pricing_summary, q_variant_get,
-#     q_copurchase_pairs, q_pagerank, q_dedup_clusters, q_decontaminate
-#   the 35 never-checked: q_drawdown q_bollinger q_vwap q_rsi
-#     q_stochastic q_obv q_macd q_beta q_atr q_golden_cross q_sharpe
-#     q_sessionize_gaps q_scd2_build q_dq_expectations q_triangle_count
-#     q_ewma
-#     q_event_transitions q_ohlc_daily_reagg q_domain_mix q_source_cap
-#     q_pii_redact q_chunk_windows q_corpus_stats q_array_agg_distinct
-#     q_semantic_dedup q_bitmap_distinct q_mode_by_group q_moments
-#     q_regr_ols q_explode_outer q_embed_standardize q_hll_distinct
-#     q_hll_union q_theta_setops q_kll_quantiles
-#   = 1 + 8 + 35 = 44 names; 6 slots spare for extra sentinels or any
-#   r04 reds (the five WEAK rows record rows-only checks).
-#
-# r06+ surface growth (declare once r05 closes full driver coverage;
-# the library ops and tests already exist — each just needs its
-# @register binding):
-#   q_frequent_items — operators/heavyhitters.frequent_items on a
-#     low-cardinality column with k above every per-partition distinct
-#     count, so slack == 0 and lower == upper == exact: the oracle is
-#     plain GROUP BY count(*) (alias item/lower/upper on both sides).
-#   q_rollup_merge — operators/incremental: merge two half-states and
-#     finalize; oracle = direct GROUP BY over the union (exact
-#     measures only: sum/count/min/max on integer-ish columns).
-#   q_stream_pair_outer — streaming/joins.followed_within(
-#     how="left_outer") batch form; oracle = LEFT JOIN with the same
-#     time band (a_id/b_id/a_user aliases as in q_stream_pair_join).
+# never-checked, then family sentinels) — run it at round start.
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -127,11 +127,22 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     scale. NULLs and degenerate (min == max) columns rank 0. ``bits``
     buckets each dimension into 2^bits cells; 8 bits resolves up to
     ~256 files per dimension, plenty past the point where file-level
-    pruning saturates. Clustering columns must be numeric (cast dates
-    and timestamps to epoch first)."""
+    pruning saturates. When ``len(cols) * bits`` would overflow the 63
+    usable (non-sign) bits of the long z-key, ``bits`` auto-shrinks to
+    ``63 // len(cols)`` — without the clamp an 8th column at the
+    default 8 bits puts its top bit in the sign position (top-bucket
+    rows would sort FIRST) and a 9th wraps the shift count mod 64,
+    silently scrambling the Morton order. Clustering columns must be
+    numeric (cast dates and timestamps to epoch first)."""
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if k == 0:
+        raise ValueError("write_zorder requires at least one clustering column")
+    bits = min(bits, 63 // k)
+    if bits < 1:
+        raise ValueError(
+            f"write_zorder supports at most 63 clustering columns, got {k}")
     nb = 2 ** bits
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"__lo{i}")

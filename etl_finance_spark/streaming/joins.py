@@ -102,3 +102,33 @@ def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     clicks = ev.filter(F.col("event_type") == "click")
     return followed_within(views, clicks, minutes=60)
+
+
+@register(
+    "q_stream_pair_outer",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS a_user
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = 'click'
+     AND date_trunc('microseconds', b.ts) > date_trunc('microseconds', a.ts)
+     AND date_trunc('microseconds', b.ts)
+         <= date_trunc('microseconds', a.ts) + INTERVAL '60 minutes'
+    WHERE a.event_type = 'view'
+    """,
+)
+def q_stream_pair_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unmatched-firsts tier of the stream-stream pairing (funnel
+    semantics: views that did NOT convert emit with NULL b_id). Batch
+    form of followed_within(how="left_outer"); in streaming mode the
+    identical body emits an unmatched view only when the watermark
+    passes its match deadline and its state evicts — eviction IS
+    emission (pinned in tests/test_streaming.py). The b-side type
+    filter lives INSIDE the join (pre-filtered input here, ON-clause
+    predicate in the oracle) — under LEFT JOIN a WHERE on the b side
+    would silently turn it back into an inner join."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return followed_within(views, clicks, minutes=60, how="left_outer")

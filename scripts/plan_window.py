@@ -35,6 +35,24 @@ WINDOW = 50
 FLAGSHIP = "q_pct_change_hourly"
 
 
+def is_green(name: str, row: dict, specs: dict) -> bool:
+    """Red = error, or no match at the query's own strictness: EXACT
+    queries (oracle declared) must HASH-match — a rows-only match is
+    same-count-different-values, a real red that must re-queue; WEAK
+    queries (oracle=None by policy) only ever record a rows-only row
+    (the driver marks them err='no_oracle')."""
+    if row.get("err") == "no_oracle":
+        # the driver's WEAK marker — rows-only by policy; green if
+        # the Spark side actually ran and produced a row count
+        return row.get("spark_rows") is not None
+    if row.get("err"):
+        return False
+    if row.get("hash_match"):
+        return True
+    weak = name in specs and specs[name].oracle is None
+    return bool(weak and row.get("rows_match"))
+
+
 def main() -> int:
     specs = registry.collect()
     files = sorted(glob.glob("CORRECTNESS_r*.json"))
@@ -45,11 +63,8 @@ def main() -> int:
     latest = json.load(open(files[-1]))
     for f in files:
         checked |= set(json.load(open(f)))
-    reds = sorted(
-        n for n, row in latest.items()
-        if row.get("err") or not (row.get("hash_match")
-                                  or row.get("rows_match"))
-    )
+    reds = sorted(n for n, row in latest.items()
+                  if not is_green(n, row, specs))
     never = [n for n in specs if n not in checked]  # registration order
     by_module: dict[str, list[str]] = {}
     for name, spec in specs.items():

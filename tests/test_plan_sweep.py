@@ -34,7 +34,12 @@ PYTHON_EVAL_ALLOWED = {
 
 # The exact-ntile oracle rung runs a global window over a key-range-
 # capped (constant-size) slice — documented in operators/windows.py.
-GLOBAL_WINDOW_ALLOWED = {"q_win_ntile"}
+# q_frequent_items' window runs over the MERGED CANDIDATE set — at most
+# (k+1) x input-partitions rows regardless of data size or vocabulary —
+# and keeps the plan a single linear chain (a branched marker-row
+# extraction would re-scan the input or need a persist; see
+# operators/heavyhitters.py).
+GLOBAL_WINDOW_ALLOWED = {"q_win_ntile", "q_frequent_items"}
 
 # Broadcast-HINT discipline, inventory-wide (extends test_plans.
 # test_no_forced_broadcast_on_unbounded_sides from the 18 hint-swept

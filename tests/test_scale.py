@@ -190,6 +190,70 @@ print(json.dumps({"cc_equal": local_cc == rel_cc,
     assert got["ck_files"] > 0, "reliable mode wrote no checkpoint files"
 
 
+def test_release_cuts_bounds_noneager_persists(tmp_path):
+    """ADVICE r4: non-eager reliable cuts persist their input but can
+    only unpersist AFTER the checkpoint materializes (which happens at
+    the frame's first action, long after cut_lineage returned) — left
+    alone, every pagerank call on a checkpoint-dir deployment pins
+    iters+2 cached frames for the session lifetime, unbounded across
+    queries. The fix: each iterative builder calls release_cuts() at
+    build start, so at most ONE query's cuts stay registered. Witness:
+    two pagerank runs back-to-back must not accumulate (the second
+    build drains the first's registry), an explicit release_cuts()
+    drains to zero and actually unpersists, and a drained registry is
+    harmless — the checkpointed results stay correct. Subprocess for
+    the same reason as the equivalence test above (checkpoint dir
+    cannot be unset on the shared session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.setCheckpointDir(%(ckdir)r)
+from etl_finance_spark import lineage
+from etl_finance_spark.operators.graphs import pagerank
+
+edges = spark.createDataFrame(
+    [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long")
+
+r1 = sorted((r["node"], round(r["pr"], 12))
+            for r in pagerank(edges, 0.85, 4).collect())
+after_first = len(lineage._PENDING_UNPERSIST)
+r2 = sorted((r["node"], round(r["pr"], 12))
+            for r in pagerank(edges, 0.85, 4).collect())
+after_second = len(lineage._PENDING_UNPERSIST)
+cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+released = lineage.release_cuts()
+cached_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+print(json.dumps({
+    "equal": r1 == r2, "after_first": after_first,
+    "after_second": after_second, "released": released,
+    "pending_after_release": len(lineage._PENDING_UNPERSIST),
+    "cached_before": cached_before, "cached_after": cached_after}))
+""" % {"repo": repo, "ckdir": str(tmp_path / "ck")}
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["equal"], got
+    assert got["after_first"] > 0, got  # non-eager cuts do register
+    # the second build's release drained the first's entries: bounded
+    # per-query, not cumulative across queries
+    assert got["after_second"] <= got["after_first"], got
+    assert got["released"] == got["after_second"], got
+    assert got["pending_after_release"] == 0, got
+    assert got["cached_after"] < got["cached_before"], got
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """session.py enables spark.sql.adaptive.skewJoin as the residual-
     skew backstop (the hazard salting can't cover arrives at runtime,

@@ -378,11 +378,38 @@ def test_range_join_bucket_cover_closed_form_at_scale(spark):
     # broadcast vs sort-merge — is AQE's size-based choice, not ours)
     import re
 
-    assert re.search(r"Join \[uid#\d+L?, b#\d+L?\]", plan), plan
+    assert re.search(r"Join \[uid#\d+L?, __bucket#\d+L?\]", plan), plan
     # rid encodes the tick: tick = floor(rid / 1000)
     expected = F.least(F.lit(6), F.lit(999) - F.floor(F.col("rid") / 1000))
     assert out.count() == 999_000  # the last tick per user has no follower
     assert out.filter(F.col("n_following") != expected).count() == 0
+
+
+def test_range_join_validates_bound_and_survives_column_named_b(spark):
+    """ADVICE r4: bound_s=0 used to surface as a runtime DIVIDE_BY_ZERO
+    deep in the bucket math under ANSI mode — it must be a clear
+    ValueError at call time instead. And the internal bucket column is
+    now collision-proof (__bucket, mirroring __zkey/__salt): a caller
+    whose frame already carries a column named `b` must not hit an
+    ambiguous-reference failure."""
+    import pytest
+
+    from etl_finance_spark.operators.joins import range_join_following
+
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", "x"),
+         (2, 10, "2024-01-01 00:30:00", "y")],
+        "rid long, b long, ts_s string, extra string",
+    ).select("rid", "b", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+
+    with pytest.raises(ValueError, match="bound_s"):
+        range_join_following(ev, "b", "ts", "rid", 0)
+    with pytest.raises(ValueError, match="bound_s"):
+        range_join_following(ev, "b", "ts", "rid", -5)
+
+    # key column literally named `b` + 30-minute gap within a 1h bound
+    got = range_join_following(ev, "b", "ts", "rid", 3600).collect()
+    assert [(r["rid"], r["n_following"]) for r in got] == [(1, 1)]
 
 
 def test_pagerank_uniform_fixed_point_on_regular_graph(spark):

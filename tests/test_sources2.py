@@ -312,6 +312,34 @@ class TestLakeLayout:
         assert back.count() == 1_000
         assert back.agg(F.sum("payload")).collect()[0][0] == 499_500
 
+    def test_zorder_bit_budget_guard(self, spark, tmp_path):
+        """ADVICE r4: a long z-key has 63 usable bits. At the default
+        bits=8 an 8th clustering column would put its top bit in the
+        SIGN position (top-bucket rows sort first) and a 9th would wrap
+        the shift count mod 64 — both silently scramble the Morton
+        order. write_zorder must auto-shrink bits to fit (8 cols ->
+        7 bits: still a correct, coarser z-order; every row must
+        round-trip) and reject the degenerate calls loudly."""
+        import pytest
+
+        from etl_finance_spark.sources.sinks import write_zorder
+
+        df = spark.range(256).select(
+            *[((F.col("id") + i) % 16).alias(f"c{i}") for i in range(8)],
+            F.col("id").alias("payload"),
+        )
+        path = str(tmp_path / "z8")
+        write_zorder(df, path, [f"c{i}" for i in range(8)], n_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 256
+        assert back.agg(F.sum("payload")).collect()[0][0] == 256 * 255 // 2
+
+        with pytest.raises(ValueError, match="at least one"):
+            write_zorder(df, str(tmp_path / "z0"), [], n_files=2)
+        with pytest.raises(ValueError, match="at most 63"):
+            write_zorder(df, str(tmp_path / "z64"),
+                         ["c0"] * 64, n_files=2)
+
     def test_compact_partitions(self, spark, tmp_path):
         from etl_finance_spark.sources.sinks import compact_partitions
 

@@ -491,3 +491,42 @@ def test_malformed_record_policy_quarantines_or_fails(spark, tmp_path):
     assert bad == ["THIS IS NOT JSON"]
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         read_json(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_plan_window_red_detection_strictness():
+    """ADVICE r4: the window planner used to call a row green when
+    rows_match was true even with hash_match false — for an EXACT
+    (oracle-declared) query that is same-count-DIFFERENT-VALUES, a
+    real red that must re-queue for a driver recheck. WEAK queries
+    (oracle=None) are rows-only by policy (the driver marks them
+    err='no_oracle') and must stay green on a successful run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_window",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "plan_window.py"),
+    )
+    pw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pw)
+
+    class _Spec:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    specs = {"q_exact": _Spec("SELECT 1"), "q_weak": _Spec(None)}
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 3, "oracle_rows": 3, "err": None}
+    rows_only = dict(ok, hash_match=False)
+    weak_row = {"rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": 30, "oracle_rows": None,
+                "err": "no_oracle"}
+
+    assert pw.is_green("q_exact", ok, specs)
+    # EXACT + rows-only = silent value divergence -> RED
+    assert not pw.is_green("q_exact", rows_only, specs)
+    assert pw.is_green("q_weak", weak_row, specs)
+    # WEAK marker but the Spark side never ran -> RED
+    assert not pw.is_green("q_weak", dict(weak_row, spark_rows=None), specs)
+    assert not pw.is_green("q_exact", dict(ok, err="boom"), specs)
