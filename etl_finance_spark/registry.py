@@ -83,8 +83,13 @@ _QUERY_MODULES = (
 # q_stream_pair_outer), then 11 sentinels: one green query per family
 # plus the two whose internals changed this round (q_pagerank —
 # lineage release_cuts; q_join_range — range_join_following bucket
-# rename) and the historically-red q_bool_aggs. After this window
-# every declared query has a driver row — coverage evidence closes.
+# rename) and the historically-red q_bool_aggs. (q_ann_ivf_topk's
+# builder also touched release_cuts, but it is WEAK — a rows-only
+# driver row cannot verify the change, and the driver session sets no
+# checkpoint dir so the changed path never even runs there; the
+# reliable-mode equivalence subprocess test is the actual witness.)
+# After this window every declared query has a driver row — coverage
+# evidence closes.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",

@@ -139,6 +139,8 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     k = len(cols)
     if k == 0:
         raise ValueError("write_zorder requires at least one clustering column")
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
     bits = min(bits, 63 // k)
     if bits < 1:
         raise ValueError(

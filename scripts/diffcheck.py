@@ -12,6 +12,7 @@ import time
 sys.path.insert(0, ".")
 
 from etl_finance_spark import registry
+from etl_finance_spark.lineage import release_cuts
 from etl_finance_spark.session import get_spark
 from etl_finance_spark.testing import compare, duck_connect
 
@@ -31,9 +32,11 @@ def _run(spark, specs, sf_dir: str, only: set[str]) -> int:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is None:
                 n = df.count()
+                release_cuts()  # post-consumption drain (lineage.py)
                 print(f"WEAK {name}: rows={n} ({time.time()-t0:.1f}s)")
                 continue
             ok, msg = compare(df, con, spec.oracle)
+            release_cuts()  # post-consumption drain (lineage.py)
         except Exception as e:  # noqa: BLE001 - dev tool, report and move on
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         status = "PASS" if ok else "FAIL"

@@ -36,12 +36,17 @@ FLAGSHIP = "q_pct_change_hourly"
 
 
 def is_green(name: str, row: dict, specs: dict) -> bool:
-    """Red = error, or no match at the query's own strictness: EXACT
-    queries (oracle declared) must HASH-match — a rows-only match is
-    same-count-different-values, a real red that must re-queue; WEAK
-    queries (oracle=None by policy) only ever record a rows-only row
-    (the driver marks them err='no_oracle')."""
+    """Red = error, or no match at the query's CURRENT strictness:
+    EXACT queries (oracle declared) must HASH-match — a rows-only
+    match is same-count-different-values, a real red that must
+    re-queue; WEAK queries (oracle=None by policy) only ever record a
+    rows-only row (the driver marks them err='no_oracle')."""
     if row.get("err") == "no_oracle":
+        if name in specs and specs[name].oracle is not None:
+            # recorded as WEAK, but the query has since GAINED an
+            # oracle — the rows-only evidence is stale; re-queue for
+            # a real hash check
+            return False
         # the driver's WEAK marker — rows-only by policy; green if
         # the Spark side actually ran and produced a row count
         return row.get("spark_rows") is not None
@@ -59,11 +64,14 @@ def main() -> int:
     if not files:
         print("no CORRECTNESS_r*.json found", file=sys.stderr)
         return 1
-    checked: set[str] = set()
-    latest = json.load(open(files[-1]))
-    for f in files:
-        checked |= set(json.load(open(f)))
-    reds = sorted(n for n, row in latest.items()
+    # a query's standing is its MOST RECENT row across ALL rounds, not
+    # just the latest file: a red that misses the very next window must
+    # stay red-tracked until some later round actually re-checks it
+    latest_row: dict[str, dict] = {}
+    for f in files:  # sorted ascending — later rounds override
+        latest_row.update(json.load(open(f)))
+    checked = set(latest_row)
+    reds = sorted(n for n, row in latest_row.items()
                   if not is_green(n, row, specs))
     never = [n for n in specs if n not in checked]  # registration order
     by_module: dict[str, list[str]] = {}

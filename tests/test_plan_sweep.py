@@ -122,9 +122,9 @@ def _simple(spark, name: str) -> str:
 @pytest.fixture(scope="module")
 def inventory_dfs(spark):
     """Every declared query's DataFrame, built ONCE for the module:
-    both sweep tests iterate the same 214 plans, and construction is
-    not free (q_recursive_bfs runs an eager lineage-cut job, the
-    similarity family touches session memos)."""
+    both sweep tests iterate the same full inventory of plans, and
+    construction is not free (q_recursive_bfs runs an eager
+    lineage-cut job, the similarity family touches session memos)."""
     return {name: SPECS[name].fn(spark, SF_CORRECT) for name in sorted(SPECS)}
 
 

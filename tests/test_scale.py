@@ -196,12 +196,15 @@ def test_release_cuts_bounds_noneager_persists(tmp_path):
     the frame's first action, long after cut_lineage returned) — left
     alone, every pagerank call on a checkpoint-dir deployment pins
     iters+2 cached frames for the session lifetime, unbounded across
-    queries. The fix: each iterative builder calls release_cuts() at
-    build start, so at most ONE query's cuts stay registered. Witness:
-    two pagerank runs back-to-back must not accumulate (the second
-    build drains the first's registry), an explicit release_cuts()
-    drains to zero and actually unpersists, and a drained registry is
-    harmless — the checkpointed results stay correct. Subprocess for
+    queries. The contract (lineage.py): run harnesses call
+    release_cuts() AFTER consuming each result — never at the next
+    build, which in a build-all-then-run flow would strip a pending
+    query's persist-before-checkpoint protection before its first
+    action. Witness all three properties: (a) building a second query
+    does NOT drain the first's registry (no premature unpersist),
+    (b) both pending queries still answer correctly after the other
+    ran, (c) an explicit post-consumption release drains to zero,
+    actually unpersists, and later runs stay correct. Subprocess for
     the same reason as the equivalence test above (checkpoint dir
     cannot be unset on the shared session)."""
     import json
@@ -222,21 +225,37 @@ spark.sparkContext.setCheckpointDir(%(ckdir)r)
 from etl_finance_spark import lineage
 from etl_finance_spark.operators.graphs import pagerank
 
-edges = spark.createDataFrame(
-    [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long")
+rows = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+# two structurally DISTINCT input frames: Spark's cache manager keys
+# persisted blocks by analyzed-plan equality, so a byte-identical
+# second build would dedup against the first's persist (ours=False in
+# cut_lineage) and register one entry fewer — correct sharing, but it
+# would blur the no-premature-drain arithmetic this test pins
+edges = spark.createDataFrame(rows, "src long, dst long")
+edges_b = spark.createDataFrame(rows + [(1, 2)], "src long, dst long") \
+    .distinct()
 
-r1 = sorted((r["node"], round(r["pr"], 12))
-            for r in pagerank(edges, 0.85, 4).collect())
-after_first = len(lineage._PENDING_UNPERSIST)
-r2 = sorted((r["node"], round(r["pr"], 12))
-            for r in pagerank(edges, 0.85, 4).collect())
-after_second = len(lineage._PENDING_UNPERSIST)
+def snap(df):
+    return sorted((r["node"], round(r["pr"], 12)) for r in df.collect())
+
+# build-all-then-run: two queries pending at once
+q1 = pagerank(edges, 0.85, 4)
+after_build1 = len(lineage._PENDING_UNPERSIST)
+q2 = pagerank(edges_b, 0.85, 4)
+after_build2 = len(lineage._PENDING_UNPERSIST)
+r1, r2 = snap(q1), snap(q2)
 cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
 released = lineage.release_cuts()
 cached_after = len(spark.sparkContext._jsc.getPersistentRDDs())
+# post-release correctness: a third run (fresh build) and a re-read of
+# the released-but-checkpointed q1 both still answer
+r3 = snap(pagerank(edges, 0.85, 4))
+lineage.release_cuts()
+r1_again = snap(q1)
 print(json.dumps({
-    "equal": r1 == r2, "after_first": after_first,
-    "after_second": after_second, "released": released,
+    "equal": r1 == r2 == r3 == r1_again,
+    "after_build1": after_build1, "after_build2": after_build2,
+    "released": released,
     "pending_after_release": len(lineage._PENDING_UNPERSIST),
     "cached_before": cached_before, "cached_after": cached_after}))
 """ % {"repo": repo, "ckdir": str(tmp_path / "ck")}
@@ -245,11 +264,11 @@ print(json.dumps({
     assert out.returncode == 0, out.stderr[-2000:]
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got["equal"], got
-    assert got["after_first"] > 0, got  # non-eager cuts do register
-    # the second build's release drained the first's entries: bounded
-    # per-query, not cumulative across queries
-    assert got["after_second"] <= got["after_first"], got
-    assert got["released"] == got["after_second"], got
+    assert got["after_build1"] > 0, got  # non-eager cuts do register
+    # building q2 must NOT drain q1's pending persists (accumulates
+    # until an explicit post-consumption release)
+    assert got["after_build2"] == 2 * got["after_build1"], got
+    assert got["released"] == got["after_build2"], got
     assert got["pending_after_release"] == 0, got
     assert got["cached_after"] < got["cached_before"], got
 

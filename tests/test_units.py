@@ -530,3 +530,8 @@ def test_plan_window_red_detection_strictness():
     # WEAK marker but the Spark side never ran -> RED
     assert not pw.is_green("q_weak", dict(weak_row, spark_rows=None), specs)
     assert not pw.is_green("q_exact", dict(ok, err="boom"), specs)
+    # a rows-only row recorded while the query was WEAK goes STALE the
+    # round it gains an oracle: must re-queue for a real hash check
+    assert not pw.is_green("q_exact", weak_row, specs)
+    # a query de-registered since the recording stays judged by the row
+    assert pw.is_green("q_gone", weak_row, specs)
