@@ -1,0 +1,372 @@
+"""Product quantization (PQ): embedding compression + IVF-PQ search.
+
+The MEMORY rung of the ANN ladder (Jégou/Douze/Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+architecture FAISS ships as IVFPQ). The exact/LSH/IVF rungs in
+llm/similarity.py prune WHICH vectors a query touches; this rung
+shrinks WHAT a candidate costs: each DIM-dim vector splits into M
+contiguous subspaces of DSUB dims, each subspace trains its own
+KS-codeword k-means codebook, and a vector is stored as M small codes
+— 64 float32 (256 B) become 16 codes of 4 bits (8 B), a 32x
+reduction. At 100 TB of embeddings that is the difference between an
+index that fits the cluster's memory and one that doesn't, and — just
+as important for the Spark plan — the candidate ranking join ships
+8-byte code arrays instead of 256-byte vectors, so the widest shuffle
+of the query path shrinks by the same factor; full vectors surface
+only for the final refine*k-per-query shortlist (ivfpq_topk tier 3).
+
+Scoring is ADC (asymmetric distance computation): the QUERY stays
+exact; per query ONE M x KS table of exact sub-distances to every
+codeword is computed (row-local, ~KS*DIM mults), after which any
+corpus candidate scores in M table lookups — no corpus vector is ever
+touched at query time. With unit-normalized inputs, approximate
+L2^2 = 2 - 2*cos, so ADC ranking is monotone with approximate cosine
+and directly comparable against the exact rung
+(tests/test_pq.py pins the measured recall floor vs cosine_topk).
+
+Spark shapes, same discipline as ivf_centroids (similarity.py):
+
+- **Training** is LLOYD passes over (subspace, sub-vector) rows from a
+  deterministic TRAIN_CAP-bounded sample; the only distributed rollup
+  is a groupBy((j, code, pos)) mean whose output is <= M*KS*DSUB rows.
+  All M codebooks train in the SAME pass — subspace is a key, not a
+  loop.
+- **The model is one packed row** (M*KS*DSUB = 1024 doubles, a few KB)
+  that broadcasts; encoding is a PURE PROJECTION (crossJoin +
+  higher-order argmin per subspace), zero shuffles at any corpus size.
+- **Search** reuses the IVF coarse cells for pruning (ivf_assign) and
+  re-ranks candidates from codes alone via a per-query lookup MAP
+  (map_from_entries; M map probes per candidate, whole-stage codegen,
+  no UDF anywhere).
+
+Declared-surface status: library tier (like operators/incremental.py
+was in round 4) — exercised by tests/test_pq.py; the r06 window
+declares `q_ivfpq_topk` (WEAK: k-means is not SQL-expressible; the
+exact rung + recall floor are the oracle, as for the LSH/IVF rungs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_spark.lineage import cut_lineage
+from etl_finance_spark.llm.similarity import DIM, PAIR_SALTS, _l2sq
+from etl_finance_spark.operators.scale import salted_join
+
+M = 16            # subspaces
+DSUB = DIM // M   # dims per subspace
+KS = 16           # codewords per subspace (4-bit codes; 8 B/vector)
+PQ_LLOYD = 2      # per-subspace Lloyd passes (same A/B'd constant as IVF)
+PQ_TRAIN_CAP = 4096  # training-sample bound, as ivf_centroids
+REFINE = 4        # exact-rerank shortlist = REFINE * k per query
+
+
+def with_normalized(df: DataFrame) -> DataFrame:
+    """Replace ``vec`` with the unit vector vec / nrm (inputs from
+    similarity.with_unit_vec, which attaches ``nrm``). On the unit
+    sphere L2^2 = 2 - 2*cos, which is what makes ADC's L2 ranking a
+    cosine ranking. Zero-norm vectors produce NULL components
+    (try_divide) rather than Inf — they can never rank."""
+    return df.withColumn(
+        "vec", F.transform("vec", lambda x: F.try_divide(x, F.col("nrm")))
+    )
+
+
+def _sub(vec: Column, j: Column | int) -> Column:
+    """The j-th DSUB-wide contiguous slice of ``vec`` (0-based j).
+    F.slice's start is 1-based and accepts a Column."""
+    j = F.lit(j) if isinstance(j, int) else j
+    return F.slice(vec, j * DSUB + 1, DSUB)
+
+
+def _pack_books(flat_means: DataFrame) -> DataFrame:
+    """(j, code, pos, m) rows -> ONE row with ``pqw``: array of
+    struct(j, code, w: array<double>) sorted by (j, code). Same
+    map-side single-global-aggregate re-pack as ivf_centroids, one
+    nesting level deeper; codewords that lost all members drop out
+    (encode's argmin simply never picks them again)."""
+    return (
+        flat_means.groupBy()
+        .agg(F.collect_list(F.struct("j", "code", "pos", "m")).alias("flat"))
+        .select(
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            "flat",
+                            lambda x: F.struct(
+                                x.getField("j").alias("j"),
+                                x.getField("code").alias("code"),
+                            ),
+                        )
+                    )
+                ),
+                lambda p: F.struct(
+                    p.getField("j").alias("j"),
+                    p.getField("code").alias("code"),
+                    F.transform(
+                        F.array_sort(
+                            F.filter(
+                                F.col("flat"),
+                                lambda x: (x.getField("j") == p.getField("j"))
+                                & (x.getField("code") == p.getField("code")),
+                            )
+                        ),
+                        lambda x: x.getField("m"),
+                    ).alias("w"),
+                ),
+            ).alias("pqw")
+        )
+    )
+
+
+def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
+    """Train the M per-subspace codebooks; returns the packed 1-row
+    model (column ``pqw``). ``vectors`` needs (vec_id, vec) with vec
+    already double[] (with_unit_vec upstream).
+
+    Deterministic end to end: the hash-ordered training sample, the
+    lowest-vec_id seeding, the lexicographic (dist, code) argmin
+    tie-break, and the (j, code) sort of the packed model are all
+    partition-invariant — the same corpus yields the same model on any
+    cluster layout (pinned in tests/test_pq.py). Every Lloyd pass is
+    one crossJoin against the broadcast model plus one <= M*KS*DSUB-row
+    rollup; the corpus itself is read once for the sample."""
+    train = cut_lineage(
+        vectors.select("vec_id", "vec")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(train_cap),
+        eager=False,
+    )
+    # seeds: the KS lowest-vec_id sample vectors donate their j-th
+    # slice to subspace j's codebook (the ivf seeding trick, per
+    # subspace). Fewer than KS sample rows -> NULL slices, filtered out
+    # (degenerate/empty inputs keep a schema-stable empty codebook).
+    seeds = (
+        train.orderBy("vec_id").limit(KS)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vec"))).alias("s"))
+        .select(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(M - 1)),
+                        lambda j: F.transform(
+                            F.sequence(F.lit(0), F.lit(KS - 1)),
+                            lambda c: F.struct(
+                                j.alias("j"),
+                                c.alias("code"),
+                                _sub(F.get(F.col("s"), c).getField("vec"),
+                                     j).alias("w"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda x: x.getField("w").isNotNull(),
+            ).alias("pqw")
+        )
+    )
+    books = seeds
+    it = 0
+    for _ in range(PQ_LLOYD):
+        # assign every (row, subspace) pair to its nearest codeword —
+        # all M subspaces in one pass, subspace as a key
+        assigned = (
+            train.crossJoin(F.broadcast(books))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(M - 1)),
+                        lambda j: F.struct(
+                            j.alias("j"),
+                            F.array_min(
+                                F.transform(
+                                    F.filter(
+                                        F.col("pqw"),
+                                        lambda x: x.getField("j") == j,
+                                    ),
+                                    lambda x: F.struct(
+                                        _l2sq(x.getField("w"), _sub(F.col("vec"), j)
+                                              ).alias("d"),
+                                        x.getField("code").alias("code"),
+                                    ),
+                                )
+                            ).getField("code").alias("code"),
+                            _sub(F.col("vec"), j).alias("sub"),
+                        ),
+                    )
+                ).alias("a")
+            )
+            .select(F.col("a.j").alias("j"), F.col("a.code").alias("code"),
+                    F.col("a.sub").alias("sub"))
+        )
+        flat_means = (
+            assigned.select("j", "code", F.posexplode("sub").alias("pos", "e"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("e").alias("m"))
+        )
+        books = _pack_books(flat_means)
+        it += 1
+        if it == PQ_LLOYD:
+            # one cut for the final model only: PQ_LLOYD=2 keeps the
+            # unchecked plan shallow, and consumers must never replay
+            # k-means lineage (same cadence rationale as ivf_centroids)
+            books = cut_lineage(books, eager=False)
+    return books
+
+
+def pq_encode(vectors: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, codes: array<int>) — each vector's per-subspace nearest
+    codeword. A pure projection against the broadcast 1-row model:
+    ZERO shuffles at any corpus size (plan-asserted in tests/test_pq.py).
+    This is the stored index at rest; 100 TB of embeddings encode in
+    one map-only pass."""
+    return (
+        vectors.select("vec_id", "vec")
+        .crossJoin(F.broadcast(books))
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.filter(F.col("pqw"), lambda x: x.getField("j") == j),
+                        lambda x: F.struct(
+                            _l2sq(x.getField("w"), _sub(F.col("vec"), j)
+                                  ).alias("d"),
+                            x.getField("code").alias("code"),
+                        ),
+                    )
+                ).getField("code"),
+            ).alias("codes"),
+        )
+    )
+
+
+def adc_lut(queries: DataFrame, books: DataFrame) -> DataFrame:
+    """Per query, the ADC lookup MAP: key (j * KS + code) -> exact
+    L2^2 between the query's j-th slice and that codeword. One row per
+    query, M*KS entries — computed once, probed M times per candidate.
+    A map (not a positional array) because codewords that lost all
+    training members drop out of the model, so (j, code) is sparse."""
+    return (
+        queries.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"))
+        .crossJoin(F.broadcast(books))
+        .select(
+            "qid", "qv",
+            F.map_from_entries(
+                F.transform(
+                    "pqw",
+                    lambda x: F.struct(
+                        (x.getField("j") * KS + x.getField("code")).alias("k"),
+                        _l2sq(x.getField("w"),
+                              _sub(F.col("qv"), x.getField("j"))).alias("d"),
+                    ),
+                )
+            ).alias("lut"),
+        )
+    )
+
+
+def adc_score(codes: Column, lut: Column) -> Column:
+    """Approximate L2^2 of a coded corpus vector to the lut's query:
+    sum over subspaces of the looked-up sub-distance. M map probes,
+    whole-stage codegen. Every probe hits: encode only ever assigns
+    codes present in the model."""
+    return F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(M - 1)), codes,
+            lambda j, c: F.element_at(lut, j * KS + c),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
+               cent: DataFrame | None = None,
+               books: DataFrame | None = None,
+               refine: int = REFINE) -> DataFrame:
+    """IVF-PQ approximate top-k with an exact refinement stage — the
+    FAISS IVFPQ+refine architecture, in three strictly narrowing tiers:
+
+    1. **IVF cells** prune WHICH corpus vectors a query meets
+       (similarity.ivf_assign — the existing rung): candidates fall to
+       ~nprobe/ncells of the corpus.
+    2. **ADC over PQ codes** ranks every candidate WITHOUT touching a
+       corpus vector: the candidate join ships (cell, codes) — at
+       100 TB that shuffle is ~32x narrower than the float-vector
+       re-rank of ann_ivf_topk — and keeps the ``refine * k`` best
+       per query.
+    3. **Exact cosine** re-ranks only that shortlist: full vectors are
+       fetched for refine*k rows PER QUERY (a narrow semi-join against
+       the corpus), never for the candidate set.
+
+    The corpus is scanned exactly twice total (route + encode), both
+    map-only passes against broadcast models. Inputs must be UNIT
+    vectors (with_normalized), so ADC's L2^2 = 2 - 2*cos makes tier-2
+    ranking a cosine ranking and tier 3 commensurable with the exact
+    rung; the measured recall floor vs cosine_topk is pinned in
+    tests/test_pq.py. ``refine=1`` degrades to codes-only ranking
+    (returns ADC's approximate cosine — zero vector traffic, lower
+    recall; the trade is the caller's).
+
+    ``cent`` / ``books``: prebuilt (checkpointed) models to reuse —
+    the index-amortization path, as ann_ivf_topk's cent."""
+    from etl_finance_spark.llm.similarity import (
+        N_PROBE, dot, ivf_assign, ivf_centroids,
+    )
+
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    vectors = vectors.persist()  # feeds training, routing, encoding
+    if cent is None:
+        cent = ivf_centroids(vectors)
+    if books is None:
+        books = pq_train(vectors)
+    corpus = (
+        ivf_assign(vectors, cent, 1)
+        .select(F.col("vec_id").alias("cid"), "cell")
+        .join(
+            pq_encode(vectors, books)
+            .select(F.col("vec_id").alias("cid"), "codes"),
+            "cid",
+        )
+    )
+    query_cells = ivf_assign(queries, cent, N_PROBE).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    luts = adc_lut(queries, books)
+    cand = (
+        salted_join(corpus, query_cells, "cell",
+                    salt=PAIR_SALTS, salt_on=["cid"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "codes")
+    )
+    scored = cand.join(luts, "qid").select(
+        "qid", "cid",
+        (1 - adc_score(F.col("codes"), F.col("lut")) / 2).alias("approx_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine * k)
+    )
+    if refine == 1:
+        return shortlist.select("qid", "cid", "approx_cos", "rank")
+    # tier 3: exact cosine on the shortlist only — unit vectors, so
+    # cosine IS the dot product; vector traffic = refine*k per query
+    qv = queries.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"))
+    cv = vectors.select(F.col("vec_id").alias("cid"), F.col("vec").alias("cv"))
+    exact = (
+        shortlist.select("qid", "cid")
+        .join(qv, "qid").join(cv, "cid")
+        .select("qid", "cid", dot(F.col("qv"), F.col("cv")).alias("approx_cos"))
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "approx_cos", "rank")
+    )

@@ -163,6 +163,15 @@ _DRIVER_WINDOW = (
 # `python scripts/plan_window.py` derives the next rotation from the
 # recorded CORRECTNESS_r*.json evidence (reds first, then
 # never-checked, then family sentinels) — run it at round start.
+#
+# r06 declaration candidates (library tiers already built + tested,
+# each needs only its @register binding and a window slot):
+#   q_ivfpq_topk — llm/pq.ivfpq_topk (WEAK: k-means not SQL-
+#     expressible; recall floor vs the exact rung + determinism +
+#     ADC-exactness pinned in tests/test_pq.py, as for the LSH/IVF
+#     rungs). Unit-normalize inputs via pq.with_normalized.
+#   q_backfill_partitions — sources/sinks dynamic-partition repair
+#     (unit-tested; oracle = read-back GROUP BY after the repair).
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
