@@ -1,0 +1,86 @@
+"""Incremental file ingestion: process only files never seen before.
+
+THE lake-operations primitive at 100 TB: a landing zone accumulates
+files forever, and a daily/hourly refresh must cost |new files|, never
+a rescan of the history. The Spark-first answer is not a hand-rolled
+file-listing ledger — Structured Streaming's file source already
+maintains an exactly-once FILE LOG in its checkpoint, and
+``Trigger.AvailableNow`` turns the stream into a terminating batch
+job: "process everything that has arrived since the last run, in
+bounded micro-batches, then stop." Wrapping that is strictly better
+than a bespoke manifest:
+
+- **Exactly-once at file granularity** across crashes and re-runs —
+  the checkpointed offsets commit per micro-batch; a re-run resumes,
+  never re-reads (pinned in tests/test_ingest.py, including the
+  nothing-new no-op run).
+- **Bounded memory for any backlog**: ``max_files_per_trigger`` caps
+  each micro-batch, so a 10-year backfill is a sequence of bounded
+  jobs, not one giant one (witnessed: same rows, more batches).
+- **Composes with every foreachBatch sink in this repo** — the
+  anti-join upsert (streaming/windows.py), the rollup-partials
+  maintenance sink (operators/incremental.py), or any (DataFrame,
+  batch_id) function; batch_id-keyed sinks stay idempotent under
+  redelivery of the LAST uncommitted batch, which is the streaming
+  contract.
+
+Latency-sensitive deployments pass a real trigger instead of one-shot
+(this wrapper is for the scheduled-refresh shape); cloud object
+stores with notification services would set cloudFiles-style options
+on the same reader seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    checkpoint: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Run one incremental refresh over ``src_path``: every file not
+    recorded in ``checkpoint``'s file log flows through ``batch_fn``
+    in bounded micro-batches; returns the number of micro-batches
+    executed (0 = nothing new). Blocks until the backlog drains
+    (Trigger.AvailableNow), then stops — a scheduled-job body, not a
+    daemon. ``schema`` is required: a streaming file source must not
+    pay a full directory-listing inference scan per run."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got "
+                f"{max_files_per_trigger}")
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    batches = _CountingSink(batch_fn)
+    q = (
+        reader.format(fmt).load(src_path)
+        .writeStream.foreachBatch(batches)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches.n_batches
+
+
+class _CountingSink:
+    """foreachBatch wrapper that counts executed micro-batches (the
+    only run-level signal the caller needs: 0 means the checkpoint
+    already covered every file)."""
+
+    def __init__(self, fn: Callable[[DataFrame, int], None]) -> None:
+        self.fn = fn
+        self.n_batches = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.n_batches += 1
+        self.fn(batch_df, batch_id)
