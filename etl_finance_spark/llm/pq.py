@@ -67,10 +67,14 @@ def with_normalized(df: DataFrame) -> DataFrame:
     """Replace ``vec`` with the unit vector vec / nrm (inputs from
     similarity.with_unit_vec, which attaches ``nrm``). On the unit
     sphere L2^2 = 2 - 2*cos, which is what makes ADC's L2 ranking a
-    cosine ranking. Zero-norm vectors produce NULL components
-    (try_divide) rather than Inf — they can never rank."""
-    return df.withColumn(
-        "vec", F.transform("vec", lambda x: F.try_divide(x, F.col("nrm")))
+    cosine ranking. Zero- and NULL-norm vectors are DROPPED, not
+    NULL-padded: they have no direction, and a NULL vector component
+    would poison every argmin downstream — Spark's struct ordering
+    sorts NULL fields FIRST, so array_min over (distance, code)
+    structs elects the NULL-distance entry, silently collapsing a
+    codebook (or ranking a directionless vector) instead of erroring."""
+    return df.filter(F.col("nrm") > 0).withColumn(
+        "vec", F.transform("vec", lambda x: x / F.col("nrm"))
     )
 
 
@@ -217,6 +221,24 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
     return books
 
 
+def _codes_col(vec: Column, pqw: Column) -> Column:
+    """array<int> of per-subspace nearest-codeword codes for ``vec``
+    against the in-scope packed codebook column ``pqw`` (lexicographic
+    (dist, code) argmin — deterministic tie-break)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.filter(pqw, lambda x: x.getField("j") == j),
+                lambda x: F.struct(
+                    _l2sq(x.getField("w"), _sub(vec, j)).alias("d"),
+                    x.getField("code").alias("code"),
+                ),
+            )
+        ).getField("code"),
+    )
+
+
 def pq_encode(vectors: DataFrame, books: DataFrame) -> DataFrame:
     """(vec_id, codes: array<int>) — each vector's per-subspace nearest
     codeword. A pure projection against the broadcast 1-row model:
@@ -226,22 +248,7 @@ def pq_encode(vectors: DataFrame, books: DataFrame) -> DataFrame:
     return (
         vectors.select("vec_id", "vec")
         .crossJoin(F.broadcast(books))
-        .select(
-            "vec_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(M - 1)),
-                lambda j: F.array_min(
-                    F.transform(
-                        F.filter(F.col("pqw"), lambda x: x.getField("j") == j),
-                        lambda x: F.struct(
-                            _l2sq(x.getField("w"), _sub(F.col("vec"), j)
-                                  ).alias("d"),
-                            x.getField("code").alias("code"),
-                        ),
-                    )
-                ).getField("code"),
-            ).alias("codes"),
-        )
+        .select("vec_id", _codes_col(F.col("vec"), F.col("pqw")).alias("codes"))
     )
 
 
@@ -255,7 +262,7 @@ def adc_lut(queries: DataFrame, books: DataFrame) -> DataFrame:
         queries.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"))
         .crossJoin(F.broadcast(books))
         .select(
-            "qid", "qv",
+            "qid",
             F.map_from_entries(
                 F.transform(
                     "pqw",
@@ -285,6 +292,32 @@ def adc_score(codes: Column, lut: Column) -> Column:
     )
 
 
+def ivfpq_index(vectors: DataFrame, cent: DataFrame,
+                books: DataFrame) -> DataFrame:
+    """The stored IVF-PQ index: (cid, cell, codes) — coarse cell AND
+    PQ codes computed in ONE projection against both broadcast 1-row
+    models. The two columns are never separated, so re-pairing them
+    through an ivf_assign ⋈ pq_encode equi-join would buy two
+    full-corpus hash exchanges for nothing: building the index stays a
+    single map-only scan at any corpus size (plan-asserted in
+    tests/test_pq.py). At rest this is what a vector store persists —
+    8 B of codes + 1 B of cell per vector."""
+    from etl_finance_spark.llm.similarity import _cell_scores
+
+    return (
+        vectors.select("vec_id", "vec")
+        .crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(books))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.array_min(
+                _cell_scores(F.col("cents"), F.col("vec"))
+            ).getField("cell").alias("cell"),
+            _codes_col(F.col("vec"), F.col("pqw")).alias("codes"),
+        )
+    )
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
                cent: DataFrame | None = None,
                books: DataFrame | None = None,
@@ -304,8 +337,9 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
        fetched for refine*k rows PER QUERY (a narrow semi-join against
        the corpus), never for the candidate set.
 
-    The corpus is scanned exactly twice total (route + encode), both
-    map-only passes against broadcast models. Inputs must be UNIT
+    The corpus is scanned ONCE to index (ivfpq_index — cell and codes
+    in the same map-only projection against both broadcast models) and
+    once per shortlist fetch. Inputs must be UNIT
     vectors (with_normalized), so ADC's L2^2 = 2 - 2*cos makes tier-2
     ranking a cosine ranking and tier 3 commensurable with the exact
     rung; the measured recall floor vs cosine_topk is pinned in
@@ -326,15 +360,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
         cent = ivf_centroids(vectors)
     if books is None:
         books = pq_train(vectors)
-    corpus = (
-        ivf_assign(vectors, cent, 1)
-        .select(F.col("vec_id").alias("cid"), "cell")
-        .join(
-            pq_encode(vectors, books)
-            .select(F.col("vec_id").alias("cid"), "codes"),
-            "cid",
-        )
-    )
+    corpus = ivfpq_index(vectors, cent, books)
     query_cells = ivf_assign(queries, cent, N_PROBE).select(
         F.col("vec_id").alias("qid"), "cell"
     )
@@ -345,9 +371,13 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid", "codes")
     )
+    # rank by the 6dp-ROUNDED score with the unique cid tiebreak (the
+    # repo-wide ranking discipline every sibling rung follows)
     scored = cand.join(luts, "qid").select(
         "qid", "cid",
-        (1 - adc_score(F.col("codes"), F.col("lut")) / 2).alias("approx_cos"),
+        F.round(
+            1 - adc_score(F.col("codes"), F.col("lut")) / 2, 6
+        ).alias("approx_cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
     shortlist = (
@@ -357,13 +387,19 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
     if refine == 1:
         return shortlist.select("qid", "cid", "approx_cos", "rank")
     # tier 3: exact cosine on the shortlist only — unit vectors, so
-    # cosine IS the dot product; vector traffic = refine*k per query
+    # cosine IS the dot product; vector traffic = refine*k per query.
+    # The ~N_QUERY-row query side broadcasts EXPLICITLY: planner
+    # side-selection flips with cache state, and the wrong pick streams
+    # the query side over 1-2 partitions (similarity.py's rationale).
     qv = queries.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"))
     cv = vectors.select(F.col("vec_id").alias("cid"), F.col("vec").alias("cv"))
     exact = (
         shortlist.select("qid", "cid")
-        .join(qv, "qid").join(cv, "cid")
-        .select("qid", "cid", dot(F.col("qv"), F.col("cv")).alias("approx_cos"))
+        .join(F.broadcast(qv), "qid").join(cv, "cid")
+        .select(
+            "qid", "cid",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("approx_cos"),
+        )
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

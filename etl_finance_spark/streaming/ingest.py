@@ -51,18 +51,15 @@ def incremental_ingest(
     in bounded micro-batches; returns the number of micro-batches
     executed (0 = nothing new). Blocks until the backlog drains
     (Trigger.AvailableNow), then stops — a scheduled-job body, not a
-    daemon. ``schema`` is required: a streaming file source must not
-    pay a full directory-listing inference scan per run."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        if max_files_per_trigger < 1:
-            raise ValueError(
-                f"max_files_per_trigger must be >= 1, got "
-                f"{max_files_per_trigger}")
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    daemon. The reader is the shared schema'd file-source seam
+    (streaming/windows.read_event_stream); ``schema`` is required
+    there so no run ever pays a directory-inference scan."""
+    from etl_finance_spark.streaming.windows import read_event_stream
+
     batches = _CountingSink(batch_fn)
     q = (
-        reader.format(fmt).load(src_path)
+        read_event_stream(spark, src_path, schema, fmt=fmt,
+                          max_files_per_trigger=max_files_per_trigger)
         .writeStream.foreachBatch(batches)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -98,16 +98,25 @@ def streaming_dedup(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     )
 
 
-def read_event_stream(spark: SparkSession, path: str,
-                      schema) -> DataFrame:
-    """File-source stream over a directory of parquet drops — the
-    deterministic test harness for all streaming ops (one file per
-    micro-batch via maxFilesPerTrigger)."""
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
+def read_event_stream(spark: SparkSession, path: str, schema,
+                      fmt: str = "parquet",
+                      max_files_per_trigger: int | None = 1) -> DataFrame:
+    """Schema'd file-source stream over a directory of drops — the ONE
+    reader seam for both the deterministic test harness (the default
+    one-file-per-micro-batch) and incremental ingestion
+    (streaming/ingest.py, which passes its own bound or None for
+    whole-backlog batches). A schema is required by signature: a
+    streaming file source must never pay a directory-inference scan
+    per run. Cloud object stores with notification services layer
+    their options onto this same reader."""
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
+        raise ValueError(
+            f"max_files_per_trigger must be >= 1, got "
+            f"{max_files_per_trigger}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
 
 
 def foreach_batch_upsert(target_path: str, keys: list[str]):

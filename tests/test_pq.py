@@ -162,6 +162,21 @@ def test_pq_encode_plan_is_shuffle_free(spark):
     assert "BroadcastExchange" in plan or "LogicalRDD" in plan, plan
 
 
+def test_ivfpq_index_plan_is_shuffle_free(spark):
+    """The full stored index (cell + codes) must ALSO build without a
+    shuffle: both columns come from one projection against the two
+    broadcast models — re-pairing them with an equi-join would cost
+    two full-corpus exchanges (the review finding this pins)."""
+    from etl_finance_spark.llm.pq import ivfpq_index
+    from etl_finance_spark.llm.similarity import ivf_centroids
+
+    emb = _emb(spark)
+    idx = ivfpq_index(emb, ivf_centroids(emb), pq_train(emb))
+    plan = explain_simple(spark, idx)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert idx.columns == ["cid", "cell", "codes"]
+
+
 def test_pq_empty_input_schema_stable(spark):
     """Degenerate inputs: an empty corpus trains an empty (but
     present) model row and encodes to zero rows with the same schema."""
