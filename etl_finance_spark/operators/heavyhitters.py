@@ -46,8 +46,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 _PARTIALS_SCHEMA = "item string, cnt long, slack long"
 
 
@@ -93,28 +91,32 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
     bounds: (item, lower, upper), where lower ≤ f(item) ≤ upper and
     every item with f > Σ per-partition slack is guaranteed present.
 
-    The plan is one LINEAR chain — the input is scanned exactly once,
-    with no cache and no branch: the summaries aggregate by item (one
-    tiny shuffle of ≤ (k+1)·partitions rows), where the NULL-item
-    marker group's slack sum IS the total slack (one marker per
-    partition); a single-partition window over the aggregated
-    candidates — bounded by (k+1)·partitions rows, never by data —
-    spreads that total onto every candidate row."""
+    The input is scanned exactly ONCE: the summaries aggregate by item
+    (one tiny shuffle of ≤ (k+1)·partitions rows) into the candidate
+    frame, which PERSISTS (evictable/spillable) because it feeds two
+    consumers — the NULL-item marker row, whose slack sum after the
+    groupBy IS the total slack (one marker per input partition, all
+    collapsed into the single NULL group), and the candidates
+    themselves; the 1-row total then broadcast-joins back. The
+    rejected alternatives both fail a 100 TB lens: a branch WITHOUT
+    the persist recomputes the whole input scan per consumer, and the
+    earlier global-window form funneled the entire candidate set —
+    up to k·partitions rows, ~10^9 at 100 TB — through one task to
+    spread a single number."""
     agg = topk_partials(df, col, k).groupBy("item").agg(
         F.sum("cnt").alias("lower"),
         F.sum("slack").alias("present_slack"),
+    ).persist()
+    total = agg.filter(F.col("item").isNull()).select(
+        F.col("present_slack").alias("__total_slack")
     )
-    w = Window.partitionBy()  # candidate-bounded, not data-bounded
-    total = F.max(
-        F.when(F.col("item").isNull(), F.col("present_slack"))
-    ).over(w)
     return (
-        agg.withColumn("total_slack", F.coalesce(total, F.lit(0)))
-        .filter(F.col("item").isNotNull())
+        agg.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(total))
         .select(
             "item",
             "lower",
-            (F.col("lower") + F.col("total_slack")
+            (F.col("lower") + F.col("__total_slack")
              - F.col("present_slack")).alias("upper"),
         )
     )

@@ -148,21 +148,25 @@ def test_top_tokens_on_documents_corpus(spark):
         assert lo <= f <= hi
 
 
-def test_single_input_scan_by_construction(spark):
+def test_single_input_scan_via_persisted_candidates(spark):
     """frequent_items needs the per-item sums AND the total-slack
-    scalar; a branched plan would scan the input once per consumer —
-    two passes over 100 TB for one summary. The NULL-marker design
-    keeps the plan one linear chain (total slack is just the marker
-    group's slack sum, spread by a candidate-bounded window), so the
-    physical plan contains EXACTLY ONE scan of the input and no
-    cached relation."""
+    scalar — two consumers of the aggregated candidate frame. The
+    frame PERSISTS so the input is scanned once (a bare branch would
+    re-run the whole scan per consumer — two passes over 100 TB for
+    one summary), and the total spreads back as a broadcast 1-ROW
+    join, never a global window funneling the candidate set (up to
+    k·partitions rows) through one task. Pin all three properties:
+    the candidate aggregate is cached, the spread side is a broadcast,
+    and no empty-partition-list window spec remains in the plan."""
     from conftest import explain_simple
+    from test_plan_sweep import global_window_specs
 
     orders = table(spark, SF_SMOKE, "orders").repartition(8)
     out = frequent_items(orders, "o_custkey", k=10)
     plan = explain_simple(spark, out)
-    assert plan.count("orders.parquet") == 1, plan
-    assert "InMemoryRelation" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
+    assert not global_window_specs(plan), plan
     exact = _exact(orders, "o_custkey")
     for r in out.collect():
         assert r.lower <= exact[r.item] <= r.upper

@@ -34,12 +34,10 @@ PYTHON_EVAL_ALLOWED = {
 
 # The exact-ntile oracle rung runs a global window over a key-range-
 # capped (constant-size) slice — documented in operators/windows.py.
-# q_frequent_items' window runs over the MERGED CANDIDATE set — at most
-# (k+1) x input-partitions rows regardless of data size or vocabulary —
-# and keeps the plan a single linear chain (a branched marker-row
-# extraction would re-scan the input or need a persist; see
-# operators/heavyhitters.py).
-GLOBAL_WINDOW_ALLOWED = {"q_win_ntile", "q_frequent_items"}
+# (q_frequent_items used a candidate-set global window briefly; it now
+# spreads the total via a broadcast 1-row join over the persisted
+# candidate frame — k·partitions rows never funnel through one task.)
+GLOBAL_WINDOW_ALLOWED = {"q_win_ntile"}
 
 # Broadcast-HINT discipline, inventory-wide (extends test_plans.
 # test_no_forced_broadcast_on_unbounded_sides from the 18 hint-swept
@@ -59,6 +57,9 @@ BROADCAST_HINT_ALLOWED = {
     "q_mad_outliers": "per-event-type median/MAD: bounded by the type enum",
     "q_decontaminate": "eval-suite 5-grams: sized by the benchmark, not sf",
     "q_embed_standardize": "per-dimension stats: exactly DIM (64) rows",
+    "q_frequent_items": "the NULL-marker group of a groupBy(item) "
+                        "aggregate — exactly <=1 row; the persist cache "
+                        "boundary hides the Aggregate from the prover",
 }
 # The quantizer-model sides read differently depending on session memo
 # state: un-materialized, the checkpoint lineage still shows its global
