@@ -177,6 +177,40 @@ def test_ivfpq_index_plan_is_shuffle_free(spark):
     assert idx.columns == ["cid", "cell", "codes"]
 
 
+def test_ivfpq_invariant_to_salting_and_partitioning(spark):
+    """The PAIR_SALTS fan-out on the cell-keyed candidate join is a
+    pure parallelism move, and every ranking stage breaks ties on the
+    unique cid after 6dp rounding — so IVF-PQ results must be
+    row-identical with salting disabled AND under a different input
+    partition layout (the same invariance contract the LSH/IVF rungs
+    pin in test_llm.py)."""
+    import etl_finance_spark.llm.similarity as S
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 30)
+
+    def snap(vectors):
+        return sorted(
+            tuple(r) for r in ivfpq_topk(vectors, queries, TOP_K).collect()
+        )
+
+    base = snap(emb)
+    assert len(base) == 30 * TOP_K
+    old = S.PAIR_SALTS
+    S.PAIR_SALTS = 1
+    try:
+        import etl_finance_spark.llm.pq as P
+        old_p = P.PAIR_SALTS
+        P.PAIR_SALTS = 1
+        try:
+            assert snap(emb) == base
+        finally:
+            P.PAIR_SALTS = old_p
+    finally:
+        S.PAIR_SALTS = old
+    assert snap(emb.repartition(7)) == base
+
+
 def test_pq_empty_input_schema_stable(spark):
     """Degenerate inputs: an empty corpus trains an empty (but
     present) model row and encodes to zero rows with the same schema."""
