@@ -81,6 +81,25 @@ def release_cuts() -> int:
     return len(frames)
 
 
+def managed_persist(df: DataFrame) -> DataFrame:
+    """persist() registered for the post-consumption ``release_cuts()``
+    drain — for operators whose plan branches over a bounded
+    intermediate (frequent_items' candidate frame, an ANN corpus
+    feeding training + routing + rerank). A bare ``.persist()`` inside
+    an operator pins executor storage for the session with no release
+    path; this gives it the same per-query lifecycle the non-eager
+    checkpoint persists have. Skips (and does not register) frames
+    Spark's cache manager already covers — plan-equal to a live cache
+    entry, or persisted by a caller/memo that owns the lifecycle."""
+    ours = df.storageLevel.useMemory is False and \
+        df.storageLevel.useDisk is False
+    if ours:
+        df.persist()
+        with _PENDING_LOCK:
+            _PENDING_UNPERSIST.append(df)
+    return df
+
+
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s plan lineage, reliably if the session has a
     checkpoint directory configured, executor-locally otherwise."""

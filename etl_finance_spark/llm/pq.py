@@ -355,7 +355,11 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
 
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
-    vectors = vectors.persist()  # feeds training, routing, encoding
+    # feeds training, routing, encoding; released post-consumption by
+    # the run harnesses (lineage.release_cuts) rather than pinned for
+    # the session
+    from etl_finance_spark.lineage import managed_persist
+    vectors = managed_persist(vectors)
     if cent is None:
         cent = ivf_centroids(vectors)
     if books is None:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
-from etl_finance_spark.lineage import cut_lineage
+from etl_finance_spark.lineage import cut_lineage, managed_persist
 from etl_finance_spark.memo import session_memo
 from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
@@ -220,8 +220,11 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     second full hash pass over the query vectors."""
     # corpus feeds the band pass + both rerank sides; persist once so
     # the unit-vec projection materializes instead of re-inlining into
-    # every consumer (same rationale as ann_ivf_topk / semantic_dedup)
-    vectors = vectors.persist()
+    # every consumer (same rationale as ann_ivf_topk / semantic_dedup).
+    # managed: released post-consumption via lineage.release_cuts;
+    # memoized/caller-persisted frames are skipped, keeping their own
+    # lifecycle (the `ours` guard)
+    vectors = managed_persist(vectors)
     bands = lsh_band_keys(vectors)
     if queries_subset_of_vectors:
         # in the self-search branch the band frame IS consumed twice
@@ -230,7 +233,7 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         # consumer. It is ids + two ints per band — the cheapest frame
         # in the plan to keep. (In the two-corpora branch it has a
         # single consumer, so caching it would buy nothing.)
-        bands = bands.persist()
+        bands = managed_persist(bands)
     vb = bands.select(
         F.col("vec_id").alias("cid"), "band_idx", "band_bits",
     )
@@ -525,8 +528,11 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     # — q_ann_ivf_topk was 2x the next-slowest query on recompute alone).
     # persist() (MEMORY_AND_DISK) rather than localCheckpoint: evictable,
     # spillable, and the cached fragment substitutes into the queries
-    # frame too (it is a filter over the same corpus plan).
-    vectors = vectors.persist()
+    # frame too (it is a filter over the same corpus plan). Managed:
+    # released post-consumption via lineage.release_cuts; the memoized
+    # corpus keeps its own session lifecycle (the `ours` guard skips
+    # already-persisted frames).
+    vectors = managed_persist(vectors)
     if cent is None:
         cent = ivf_centroids(vectors)
     corpus_cells = ivf_assign(vectors, cent, 1).select(
@@ -704,8 +710,8 @@ def semantic_dedup(vectors: DataFrame, tau: float,
     # the corpus feeds k-means seeding, the Lloyd passes, cell routing
     # and both sides of the pair scan — persist once (same rationale as
     # ann_ivf_topk, VERDICT r2 #7: without it every consumer re-runs
-    # the scan + unit-vec projection)
-    vectors = vectors.persist()
+    # the scan + unit-vec projection); managed, see ann_lsh_topk
+    vectors = managed_persist(vectors)
     if cent is None:
         cent = ivf_centroids(vectors)
     cells = ivf_assign(vectors.select("vec_id", "vec"), cent, nprobe=1)

@@ -102,11 +102,15 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
     the persist recomputes the whole input scan per consumer, and the
     earlier global-window form funneled the entire candidate set —
     up to k·partitions rows, ~10^9 at 100 TB — through one task to
-    spread a single number."""
-    agg = topk_partials(df, col, k).groupBy("item").agg(
+    spread a single number. (The broadcast future runs the input scan
+    under spark.sql.broadcastTimeout — session.py sizes that conf for
+    derived-aggregate broadcasts; see the note there.)"""
+    from etl_finance_spark.lineage import managed_persist
+
+    agg = managed_persist(topk_partials(df, col, k).groupBy("item").agg(
         F.sum("cnt").alias("lower"),
         F.sum("slack").alias("present_slack"),
-    ).persist()
+    ))
     total = agg.filter(F.col("item").isNull()).select(
         F.col("present_slack").alias("__total_slack")
     )

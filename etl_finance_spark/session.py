@@ -39,6 +39,15 @@ def get_spark(app_name: str = "etl-finance-spark", *, cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # several operators broadcast a <=1-row aggregate DERIVED FROM a
+        # full input scan (fillna_mean's means, ntile_scalable's
+        # cutpoints, frequent_items' total-slack row, embed_standardize's
+        # stats): the broadcast future runs that scan under
+        # spark.sql.broadcastTimeout, and the 300s default is sized for
+        # prebuilt dim tables, not derived aggregates — at 100 TB the
+        # scan legitimately outlives it. 1h matches what warehouses ship
+        # for exactly this pattern; the rows broadcast stay tiny.
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

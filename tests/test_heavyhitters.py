@@ -167,6 +167,12 @@ def test_single_input_scan_via_persisted_candidates(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
     assert not global_window_specs(plan), plan
+    # single-scan pin: the explain re-prints the cached subtree per
+    # consumer, so every printed FileScan must correspond to an
+    # InMemoryRelation reference (scan only inside the cache build) —
+    # an uncached second read of the input would print one more scan
+    # than cached references
+    assert plan.count("orders.parquet") == plan.count("InMemoryRelation"), plan
     exact = _exact(orders, "o_custkey")
     for r in out.collect():
         assert r.lower <= exact[r.item] <= r.upper
