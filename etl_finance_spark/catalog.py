@@ -32,6 +32,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # derived-aggregate broadcasts (fillna_mean's means, ntile
+        # cutpoints, frequent_items' total-slack row) run their input
+        # scan under this timer; the 300s default is sized for prebuilt
+        # dims, not a scan that legitimately runs long at scale — and
+        # the driver's vanilla session never passes through
+        # session.get_spark, so the conf must pin HERE to cover it
+        ("spark.sql.broadcastTimeout", "3600"),
     ):
         try:
             if spark.conf.get(key, None) != val:

@@ -81,6 +81,15 @@ def release_cuts() -> int:
     return len(frames)
 
 
+def _uncached(df: DataFrame) -> bool:
+    """True when Spark's cache manager holds no entry covering ``df``
+    (neither this handle nor a plan-equal frame someone else persisted).
+    One storageLevel lookup — it canonicalizes the plan under the
+    cache-manager lock, so callers bind the answer once."""
+    lvl = df.storageLevel
+    return lvl.useMemory is False and lvl.useDisk is False
+
+
 def managed_persist(df: DataFrame) -> DataFrame:
     """persist() registered for the post-consumption ``release_cuts()``
     drain — for operators whose plan branches over a bounded
@@ -90,13 +99,25 @@ def managed_persist(df: DataFrame) -> DataFrame:
     path; this gives it the same per-query lifecycle the non-eager
     checkpoint persists have. Skips (and does not register) frames
     Spark's cache manager already covers — plan-equal to a live cache
-    entry, or persisted by a caller/memo that owns the lifecycle."""
-    ours = df.storageLevel.useMemory is False and \
-        df.storageLevel.useDisk is False
-    if ours:
+    entry, or persisted by a caller/memo that owns the lifecycle.
+    (Session-lifetime memo frames guard the other ordering — a managed
+    entry registered first, then shared by the memo's no-op persist —
+    by re-pinning on access: ensure_persisted.)"""
+    if _uncached(df):
         df.persist()
         with _PENDING_LOCK:
             _PENDING_UNPERSIST.append(df)
+    return df
+
+
+def ensure_persisted(df: DataFrame) -> DataFrame:
+    """Re-pin a frame whose cache an external release may have dropped
+    — the self-healing accessor for session-lifetime memoized frames,
+    whose no-op persist may have silently shared a managed entry that
+    release_cuts() later drained. NOT registered for release: the
+    caller owns a session lifecycle."""
+    if _uncached(df):
+        df.persist()
     return df
 
 
@@ -110,16 +131,16 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         # (checkpoint() does not cache; localCheckpoint() does). Only
         # unpersist what THIS call persisted — a caller-persisted frame
         # keeps its cache.
-        ours = df.storageLevel.useMemory is False and \
-            df.storageLevel.useDisk is False
-        if ours:
-            df.persist()
-        out = df.checkpoint(eager=eager)
-        if ours:
-            if eager:
+        if eager:
+            ours = _uncached(df)
+            if ours:
+                df.persist()
+            out = df.checkpoint(eager=True)
+            if ours:
                 df.unpersist()
-            else:
-                with _PENDING_LOCK:
-                    _PENDING_UNPERSIST.append(df)
-        return out
+            return out
+        # non-eager: identical lifecycle to a managed persist — the
+        # write happens at the first action, the drain post-consumption
+        managed_persist(df)
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_finance_spark.lineage import cut_lineage
+from etl_finance_spark.lineage import cut_lineage, managed_persist
 from etl_finance_spark.llm.similarity import DIM, PAIR_SALTS, _l2sq
 from etl_finance_spark.operators.scale import salted_join
 
@@ -358,7 +358,6 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
     # feeds training, routing, encoding; released post-consumption by
     # the run harnesses (lineage.release_cuts) rather than pinned for
     # the session
-    from etl_finance_spark.lineage import managed_persist
     vectors = managed_persist(vectors)
     if cent is None:
         cent = ivf_centroids(vectors)

@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
-from etl_finance_spark.lineage import cut_lineage, managed_persist
+from etl_finance_spark.lineage import (
+    cut_lineage, ensure_persisted, managed_persist,
+)
 from etl_finance_spark.memo import session_memo
 from etl_finance_spark.operators.scale import salted_join
 from etl_finance_spark.registry import register
@@ -604,10 +606,15 @@ _CORPUS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _corpus_unit_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_memo(
+    # ensure_persisted self-heals the ordering hazard: if a library
+    # caller managed_persist'ed a plan-equal frame FIRST, this memo's
+    # .persist() was a cache-manager no-op sharing that entry, and a
+    # later release_cuts() drained it — re-pin on access so the memo's
+    # session lifecycle survives external releases.
+    return ensure_persisted(session_memo(
         _CORPUS_MEMO, spark, sf_dir,
         lambda: with_unit_vec(table(spark, sf_dir, "embeddings")).persist(),
-    )
+    ))
 
 
 def _corpus_ivf_model(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_finance_spark.lineage import managed_persist
 _PARTIALS_SCHEMA = "item string, cnt long, slack long"
 
 
@@ -103,10 +105,8 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
     earlier global-window form funneled the entire candidate set —
     up to k·partitions rows, ~10^9 at 100 TB — through one task to
     spread a single number. (The broadcast future runs the input scan
-    under spark.sql.broadcastTimeout — session.py sizes that conf for
-    derived-aggregate broadcasts; see the note there.)"""
-    from etl_finance_spark.lineage import managed_persist
-
+    under spark.sql.broadcastTimeout — catalog/session size that conf
+    for derived-aggregate broadcasts; see the notes there.)"""
     agg = managed_persist(topk_partials(df, col, k).groupBy("item").agg(
         F.sum("cnt").alias("lower"),
         F.sum("slack").alias("present_slack"),

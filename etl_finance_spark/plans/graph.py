@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.lineage import ensure_persisted
 from etl_finance_spark.memo import session_memo
 
 MIN_ORDERS = 2  # co-purchase edge threshold shared by all three consumers
@@ -101,4 +102,6 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return edges_from_items(items).persist()
 
-    return session_memo(_EDGE_MEMO, spark, sf_dir, build)
+    # self-heal against an external release draining a shared cache
+    # entry (see similarity._corpus_unit_vecs for the ordering hazard)
+    return ensure_persisted(session_memo(_EDGE_MEMO, spark, sf_dir, build))

@@ -514,3 +514,27 @@ class TestSemanticDedup:
         # sanity: the rule never drops more than the true-pair closure
         dropped = {i for i in ids if not out[i].kept}
         assert dropped <= {b for _, b in true_pairs}
+
+
+def test_corpus_memo_survives_external_release(spark):
+    """Ordering hazard (review r5): a library caller that
+    managed_persist's a plan-equal corpus frame BEFORE the memo builds
+    shares one cache entry with it (Spark's cache manager keys by
+    analyzed plan); the harness's post-consumption release_cuts() then
+    drains the entry the memo believed was session-lived. The memo
+    accessor self-heals by re-pinning on access (ensure_persisted), so
+    later queries keep the one-materialization amortization."""
+    import etl_finance_spark.llm.similarity as S
+    from etl_finance_spark import lineage
+
+    # library caller persists a plan-equal frame first
+    external = with_unit_vec(table(spark, SF_SMOKE, "embeddings"))
+    lineage.managed_persist(external)
+    memo_df = S._corpus_unit_vecs(spark, SF_SMOKE)
+    memo_df.count()  # materialize the (shared) cache entry
+    lineage.release_cuts()  # harness drain takes the shared entry down
+    healed = S._corpus_unit_vecs(spark, SF_SMOKE)
+    assert not lineage._uncached(healed), (
+        "memo accessor must re-pin after an external release"
+    )
+    assert healed.count() > 0
