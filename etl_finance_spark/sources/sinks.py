@@ -192,6 +192,56 @@ def write_zorder(df: DataFrame, path: str, cols: Sequence[str],
     )
 
 
+def write_target_size(df: DataFrame, path: str,
+                      target_mb: float = 128.0,
+                      sample_rows: int = 10_000) -> int:
+    """Write parquet with output files sized near ``target_mb`` —
+    the forward-fix for the lake file-size problem compact_partitions
+    repairs after the fact. Row width at rest is unknowable from the
+    logical schema (encodings + compression commonly shrink 5-20x), so
+    a bounded ``sample_rows`` write measures the ENCODED bytes/row
+    first; the real write then bounds ``maxRecordsPerFile`` to
+    target_mb / bytes_per_row over an AQE-rebalanced exchange (the
+    rebalance merges small task outputs so the record cap — which only
+    SPLITS big tasks — has right-sized inputs to split). Returns the
+    records-per-file bound used.
+
+    The sample write pays one bounded job (LocalLimit — executors stop
+    feeding once ``sample_rows`` rows arrive, no full scan) and is
+    removed via the Hadoop FileSystem API, so any FS the session can
+    write works. Tiny sample files over-weigh the fixed parquet footer,
+    biasing bytes/row UP and file sizes conservatively UNDER target —
+    the safe direction (too-small splits cost a little scheduling;
+    too-big splits cost executor OOM on wide scans)."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0, got {target_mb}")
+    if sample_rows < 1:
+        raise ValueError(f"sample_rows must be >= 1, got {sample_rows}")
+    spark = df.sparkSession
+    sizing = path.rstrip("/") + "__sizing"
+    df.limit(sample_rows).write.mode("overwrite").parquet(sizing)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(sizing)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sampled_bytes = sum(
+        st.getLen() for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    sampled_n = spark.read.parquet(sizing).count()
+    fs.delete(jpath, True)
+    if sampled_n == 0:  # empty frame — nothing to size
+        df.write.mode("overwrite").parquet(path)
+        return 0
+    bytes_per_row = max(1, sampled_bytes // sampled_n)
+    per_file = max(1, int(target_mb * 1024 * 1024 / bytes_per_row))
+    (
+        df.hint("rebalance")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(path)
+    )
+    return per_file
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        target_files: int) -> int:
     """Small-file compaction: rewrite a directory into `target_files`

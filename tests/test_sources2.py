@@ -340,6 +340,46 @@ class TestLakeLayout:
             write_zorder(df, str(tmp_path / "z64"),
                          ["c0"] * 64, n_files=2)
 
+    def test_write_target_size_hits_the_band(self, spark, tmp_path):
+        """write_target_size must land non-tail files inside a sane
+        band around the target (the bytes/row estimate from the sample
+        write biases conservatively UNDER — see docstring), adapt the
+        records-per-file bound to row WIDTH (wide rows => fewer rows
+        per file), clean up its sizing directory, and validate args."""
+        import glob
+        import os
+
+        import pytest
+
+        from etl_finance_spark.sources.sinks import write_target_size
+
+        li = table(spark, SF_CORRECT, "lineitem")
+        target_mb = 0.25
+        path = str(tmp_path / "sized")
+        per_file = write_target_size(li, path, target_mb=target_mb)
+        assert per_file > 0
+        assert not os.path.exists(path + "__sizing")
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert len(files) >= 3, files
+        sizes = [os.path.getsize(f) for f in files]
+        target = target_mb * 1024 * 1024
+        # all files bounded above; the non-tail bulk near the target
+        assert max(sizes) <= 2.0 * target, sizes
+        big = [s for s in sizes if s >= 0.25 * target]
+        assert len(big) >= len(sizes) // 2, sizes
+        # row-width adaptivity: a 1-column projection packs MORE rows
+        # per file than the full-width frame at the same target
+        narrow = write_target_size(li.select("l_orderkey"),
+                                   str(tmp_path / "narrow"),
+                                   target_mb=target_mb)
+        assert narrow > per_file
+        # round-trip integrity
+        assert spark.read.parquet(path).count() == li.count()
+        with pytest.raises(ValueError, match="target_mb"):
+            write_target_size(li, str(tmp_path / "x"), target_mb=0)
+        with pytest.raises(ValueError, match="sample_rows"):
+            write_target_size(li, str(tmp_path / "x"), sample_rows=0)
+
     def test_compact_partitions(self, spark, tmp_path):
         from etl_finance_spark.sources.sinks import compact_partitions
 
