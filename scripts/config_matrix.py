@@ -20,6 +20,11 @@ AXES = {
     "ansi": {"spark.sql.ansi.enabled": "false"},
     "codegen": {"spark.sql.codegen.wholeStage": "false"},
     "tz": {"spark.sql.session.timeZone": "Asia/Tokyo"},
+    # granularity axes: odd, non-divisible reducer count and 1 MB scan
+    # splits (maximum task fragmentation) — partition-layout hazards
+    "parts": {"spark.sql.shuffle.partitions": "5"},
+    "splits": {"spark.sql.files.maxPartitionBytes": "1m",
+               "spark.sql.files.openCostInBytes": "0"},
 }
 
 _RUNNER = r"""
