@@ -206,28 +206,52 @@ def write_target_size(df: DataFrame, path: str,
     SPLITS big tasks — has right-sized inputs to split). Returns the
     records-per-file bound used.
 
-    The sample write pays one bounded job (LocalLimit — executors stop
-    feeding once ``sample_rows`` rows arrive, no full scan) and is
-    removed via the Hadoop FileSystem API, so any FS the session can
-    write works. Tiny sample files over-weigh the fixed parquet footer,
-    biasing bytes/row UP and file sizes conservatively UNDER target —
-    the safe direction (too-small splits cost a little scheduling;
-    too-big splits cost executor OOM on wide scans)."""
+    The sample must be REPRESENTATIVE, not a prefix: ``limit()`` reads
+    only the first partitions, and on key-clustered data (the normal
+    lake layout) those encode unrepresentatively small — long
+    dictionary/RLE runs — which would inflate the rows-per-file bound
+    toward the wide-scan-OOM side. Instead EVERY partition contributes
+    a bounded head (a mapInPandas generator that stops after its
+    quota, so each task reads about one Arrow batch), capped globally
+    at ``sample_rows``; like any pandas-lane op this needs
+    Arrow-representable column types. Sizes come from the Hadoop
+    FileSystem API, so any FS the session can write works, and the
+    sizing directory is removed even when measurement fails. Tiny
+    sample files still over-weigh the fixed parquet footer, biasing
+    bytes/row UP and file sizes conservatively UNDER target — the safe
+    direction (too-small splits cost a little scheduling; too-big
+    splits cost executor OOM on wide scans)."""
     if target_mb <= 0:
         raise ValueError(f"target_mb must be > 0, got {target_mb}")
     if sample_rows < 1:
         raise ValueError(f"sample_rows must be >= 1, got {sample_rows}")
     spark = df.sparkSession
+    per_part = 256
+
+    def _heads(batches):
+        taken = 0
+        for pdf in batches:
+            take = min(len(pdf), per_part - taken)
+            if take <= 0:
+                return
+            yield pdf.head(take)
+            taken += take
+
     sizing = path.rstrip("/") + "__sizing"
-    df.limit(sample_rows).write.mode("overwrite").parquet(sizing)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(sizing)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    sampled_bytes = sum(
-        st.getLen() for st in fs.listStatus(jpath)
-        if st.getPath().getName().endswith(".parquet")
-    )
-    sampled_n = spark.read.parquet(sizing).count()
-    fs.delete(jpath, True)
+    try:
+        (
+            df.mapInPandas(_heads, df.schema).limit(sample_rows)
+            .write.mode("overwrite").parquet(sizing)
+        )
+        sampled_bytes = sum(
+            st.getLen() for st in fs.listStatus(jpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        sampled_n = spark.read.parquet(sizing).count()
+    finally:
+        fs.delete(jpath, True)
     if sampled_n == 0:  # empty frame — nothing to size
         df.write.mode("overwrite").parquet(path)
         return 0

@@ -8,7 +8,11 @@ axis (session-global confs cannot be safely flipped mid-suite).
 Backs the README claim that results never ride on a tuning knob; the
 per-axis SENSITIVE subsets stay pinned in tests/test_scale.py — this
 script is the periodic full-width sweep (re-run whenever the declared
-surface grows)."""
+surface grows). Each axis subprocess reuses scripts/diffcheck.py's
+``_run`` loop, so the sweep inherits the baseline harness's exact
+semantics (WEAK rows-only handling, per-query exception isolation,
+and the post-consumption release_cuts drain) instead of a drifting
+copy."""
 
 from __future__ import annotations
 
@@ -30,47 +34,43 @@ AXES = {
 _RUNNER = r"""
 import sys
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from diffcheck import _run
 from etl_finance_spark import registry
 from etl_finance_spark.session import get_spark
-from etl_finance_spark.testing import compare, duck_connect
 
-confs = dict(%(confs)r)
 spark = get_spark("config-matrix", cpus=8, shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
-for k, v in confs.items():
+for k, v in dict(%(confs)r).items():
     spark.conf.set(k, v)
-sf = "/root/testdata/sf0.01"
-con = duck_connect(sf)
-bad = []
-for name, spec in sorted(registry.collect().items()):
-    try:
-        df = spec.fn(spark, sf)
-        if spec.oracle is None:
-            df.count()
-            continue
-        ok, msg = compare(df, con, spec.oracle)
-        if not ok:
-            bad.append((name, msg[:200]))
-    except Exception as e:  # noqa: BLE001
-        bad.append((name, f"{type(e).__name__}: {e}"[:200]))
-print("FAILCOUNT:", len(bad))
-for n, m in bad:
-    print("FAIL", n, m)
+failures = _run(spark, registry.collect(), "/root/testdata/sf0.01", set())
+print("FAILCOUNT:", failures)
 """
 
 
 def main() -> int:
     axes = sys.argv[1:] or list(AXES)
+    unknown = [a for a in axes if a not in AXES]
+    if unknown:
+        print(f"unknown axes {unknown}; choose from {sorted(AXES)}",
+              file=sys.stderr)
+        return 2
     rc = 0
     for axis in axes:
         script = _RUNNER % {"confs": AXES[axis]}
-        out = subprocess.run([sys.executable, "-c", script],
-                             capture_output=True, text=True, timeout=3600)
-        tail = [ln for ln in out.stdout.splitlines()
-                if ln.startswith(("FAILCOUNT:", "FAIL "))]
-        ok = out.returncode == 0 and tail and tail[0] == "FAILCOUNT: 0"
+        try:
+            out = subprocess.run([sys.executable, "-c", script],
+                                 capture_output=True, text=True,
+                                 timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(f"[{axis}] RED\n  timed out after 3600s")
+            rc = 1
+            continue
+        lines = out.stdout.replace("\r", "\n").splitlines()
+        tail = [ln for ln in lines if ln.startswith(("FAILCOUNT:", "FAIL "))]
+        ok = out.returncode == 0 and "FAILCOUNT: 0" in tail
         print(f"[{axis}] {'GREEN' if ok else 'RED'}",
-              *tail[:5], sep="\n  ")
+              *tail[:6], sep="\n  ")
         if not ok:
             rc = 1
             print(out.stderr[-1000:])

@@ -273,58 +273,6 @@ print(json.dumps({
     assert got["cached_after"] < got["cached_before"], got
 
 
-def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
-    """Deployment posture witness: Spark's runtime row-level filtering
-    (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default in
-    our sessions) injects a bloom semi-filter from a SELECTIVE dim side
-    onto the fact scan of a shuffle join — at 100 TB this is what keeps
-    never-matching fact rows out of the exchange entirely when the dim
-    is too big to broadcast. Fixtures are under the application-side
-    scan threshold and the join would broadcast, so both knobs lower to
-    fixture scale (threshold 0 + broadcast off) exactly like the AQE
-    skew witness below; assert the filter lands on the fact side AND
-    the result is row-identical with the injection disabled."""
-    from conftest import explain_simple
-
-    from etl_finance_spark.catalog import table as t
-
-    def build():
-        li = t(spark, SF_SMOKE, "lineitem")
-        orders = (
-            t(spark, SF_SMOKE, "orders")
-            .filter(F.col("o_orderpriority") == "1-URGENT")
-            .filter(F.col("o_totalprice") > 300000)
-        )
-        return (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    app_key = ("spark.sql.optimizer.runtime.bloomFilter."
-               "applicationSideScanSizeThreshold")
-    bc_key = "spark.sql.autoBroadcastJoinThreshold"
-    bloom_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    bc_before = spark.conf.get(bc_key)
-    try:
-        spark.conf.set(app_key, "0")
-        spark.conf.set(bc_key, "-1")
-        plan = explain_simple(spark, build())
-        assert "might_contain" in plan, plan
-        # the bloom probe must guard the FACT (lineitem) scan side
-        fact_scan = [ln for ln in plan.splitlines()
-                     if "might_contain" in ln and "l_orderkey" in ln]
-        assert fact_scan, plan
-        with_bloom = sorted(map(tuple, build().collect()))
-        spark.conf.set(bloom_key, "false")
-        without = sorted(map(tuple, build().collect()))
-        assert with_bloom == without and with_bloom
-    finally:
-        spark.conf.set(bloom_key, "true")
-        spark.conf.unset(app_key)
-        spark.conf.set(bc_key, bc_before)
-
-
 def test_aqe_splits_skewed_join_partition(spark):
     """session.py enables spark.sql.adaptive.skewJoin as the residual-
     skew backstop (the hazard salting can't cover arrives at runtime,
@@ -402,6 +350,8 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
     old = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
+    bloom_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    old[bloom_key] = spark.conf.get(bloom_key, None)
     try:
         fact = spark.read.parquet(fact_p)
         dim = spark.read.parquet(dim_p).filter(F.col("cat") == 7)
@@ -411,6 +361,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
         assert "might_contain" in plan, (
             "runtime bloom filter did not inject:\n" + plan[:2000]
         )
+        # the probe must guard the FACT side's join key (rows that
+        # can't match never leave their scan task), and disabling the
+        # injection must not change the answer — the filter is a pure
+        # pruning move
+        assert any("might_contain" in ln and "k#" in ln
+                   for ln in plan.splitlines()), plan[:2000]
+        spark.conf.set(bloom_key, "false")
+        assert (fact.join(dim, "k").groupBy().count()
+                .collect()[0]["count"]) == 100
     finally:
         for k, v in old.items():
             if v is None:

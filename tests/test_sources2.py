@@ -380,6 +380,35 @@ class TestLakeLayout:
         with pytest.raises(ValueError, match="sample_rows"):
             write_target_size(li, str(tmp_path / "x"), sample_rows=0)
 
+    def test_write_target_size_survives_clustered_data(self, spark,
+                                                       tmp_path):
+        """The adversary for prefix sampling: a frame whose FIRST
+        partitions are constant (encode to almost nothing — long RLE
+        runs) and whose later partitions are high-entropy hashes. A
+        limit()-based sample would estimate bytes/row from the
+        compressible prefix and set the rows-per-file bound 10-50x too
+        high, producing giant files from the entropy half; the
+        per-partition head sample must blend both regimes and keep
+        every file bounded."""
+        import glob
+        import os
+
+        from etl_finance_spark.sources.sinks import write_target_size
+
+        const = spark.range(150_000).select(
+            F.lit("a" * 64).alias("s"))
+        rand = spark.range(150_000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("s"))
+        clustered = const.unionAll(rand)  # constant partitions first
+        target_mb = 0.25
+        path = str(tmp_path / "clustered")
+        write_target_size(clustered, path, target_mb=target_mb)
+        sizes = [os.path.getsize(f)
+                 for f in glob.glob(os.path.join(path, "*.parquet"))]
+        assert sizes
+        assert max(sizes) <= 3.0 * target_mb * 1024 * 1024, sorted(sizes)
+        assert spark.read.parquet(path).count() == 300_000
+
     def test_compact_partitions(self, spark, tmp_path):
         from etl_finance_spark.sources.sinks import compact_partitions
 
