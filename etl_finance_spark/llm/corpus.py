@@ -389,7 +389,7 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg_distinct",
     oracle="""
     SELECT source,
-           list_sort(list(DISTINCT lang)) AS langs,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
     FROM documents GROUP BY source
     """,
@@ -400,10 +400,13 @@ def q_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream hash/join on the array), so the declared form always
     wraps it in array_sort — the discipline that makes set-valued
     columns safe to compare, hash, and re-shuffle. Per-group distinct
-    langs stay tiny; partials collapse map-side."""
+    langs stay tiny; partials collapse map-side. Joined to a string at
+    the boundary (the q_agg_collect_sorted house rule) so the driver's
+    pandas hasher sees a scalar — the raw array form was the r05 red:
+    pandas factorize dies on list cells."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("langs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
         F.count_distinct("lang").alias("n_langs"),
     )
 

@@ -39,10 +39,10 @@ Spark shapes, same discipline as ivf_centroids (similarity.py):
   (map_from_entries; M map probes per candidate, whole-stage codegen,
   no UDF anywhere).
 
-Declared-surface status: library tier (like operators/incremental.py
-was in round 4) — exercised by tests/test_pq.py; the r06 window
-declares `q_ivfpq_topk` (WEAK: k-means is not SQL-expressible; the
-exact rung + recall floor are the oracle, as for the LSH/IVF rungs).
+Declared-surface status: `q_ivfpq_topk` is declared (r06, WEAK:
+k-means is not SQL-expressible; the exact rung + recall floor in
+tests/test_pq.py are the oracle, as for the LSH/IVF rungs) with a
+same-round driver-window slot per the declare-with-evidence rule.
 """
 
 from __future__ import annotations
@@ -54,6 +54,7 @@ from pyspark.sql.window import Window
 from etl_finance_spark.lineage import cut_lineage, managed_persist
 from etl_finance_spark.llm.similarity import DIM, PAIR_SALTS, _l2sq
 from etl_finance_spark.operators.scale import salted_join
+from etl_finance_spark.registry import register
 
 M = 16            # subspaces
 DSUB = DIM // M   # dims per subspace
@@ -348,7 +349,15 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
     recall; the trade is the caller's).
 
     ``cent`` / ``books``: prebuilt (checkpointed) models to reuse —
-    the index-amortization path, as ann_ivf_topk's cent."""
+    the index-amortization path, as ann_ivf_topk's cent.
+
+    Id-space convention: queries are assumed to SHARE the corpus id
+    space (the self-search case — same convention as ann_ivf_topk), so
+    the candidate pass drops ``cid == qid`` self-pairs unconditionally.
+    A disjoint query set whose vec_ids collide with corpus ids would
+    lose that one legitimate neighbor per collision; re-key such a
+    query set (e.g. negate or offset vec_id) before calling, exactly
+    as for ann_ivf_topk."""
     from etl_finance_spark.llm.similarity import (
         N_PROBE, dot, ivf_assign, ivf_centroids,
     )
@@ -409,3 +418,22 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "approx_cos", "rank")
     )
+
+
+@register("q_ivfpq_topk", oracle=None)  # WEAK: approximate by design
+def q_ivfpq_topk(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """X-LLM-4 third scale rung: IVF-PQ ANN — the compression tier of
+    the ladder (exact → sign-LSH → IVF → IVF-PQ). WEAK like its
+    siblings: k-means training is not SQL-expressible; the correctness
+    witnesses are tests/test_pq.py (recall floor vs the exact rung,
+    ADC exactness on degenerate codebooks, determinism, zero-shuffle
+    encode plan). Normalizes the memoized session corpus (ADC needs
+    unit vectors so L2^2 = 2 - 2*cos) and reuses the same
+    query-set bound as the sibling rungs."""
+    from etl_finance_spark.llm.similarity import (
+        N_QUERY, TOP_K, _corpus_unit_vecs,
+    )
+
+    emb = with_normalized(_corpus_unit_vecs(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return ivfpq_topk(emb, queries, TOP_K)

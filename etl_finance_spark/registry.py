@@ -66,112 +66,103 @@ _QUERY_MODULES = (
     "etl_finance_spark.plans.sql_surface",
     "etl_finance_spark.operators.heavyhitters",
     "etl_finance_spark.operators.incremental",
+    "etl_finance_spark.llm.pq",
+    "etl_finance_spark.streaming.ingest",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order
 # queries()/oracle_sql() iterate, so collect() re-orders its output:
 # the names below come first (in this order), everything else follows
-# in registration order. This replaces the round-1/2 module-rotation
-# trick with per-query control. Round-5 composition (exactly 50,
-# derived by scripts/plan_window.py from CORRECTNESS_r01-r04 — all 50
-# r04 rows came back hash-green, so no red rechecks): 1 flagship, the
-# FINAL 38 never-driver-checked queries (the 35-query r04 remainder —
-# finance tier, analytics2/3 remainder, corpus remainder, aggregates
-# tier 3, sketches (WEAK rows-only), embed_standardize, explode_outer,
-# semantic_dedup — plus the 3 queries newly declared THIS round
-# straight into the window: q_frequent_items, q_rollup_merge,
-# q_stream_pair_outer), then 11 sentinels: one green query per family
-# plus the two whose internals changed this round (q_pagerank —
-# lineage release_cuts; q_join_range — range_join_following bucket
-# rename) and the historically-red q_bool_aggs. (q_ann_ivf_topk's
-# builder also touched release_cuts, but it is WEAK — a rows-only
-# driver row cannot verify the change, and the driver session sets no
-# checkpoint dir so the changed path never even runs there; the
-# reliable-mode equivalence subprocess test is the actual witness.)
-# After this window every declared query has a driver row — coverage
-# evidence closes.
+# in registration order.
+#
+# Round-6 composition (exactly 50, derived by scripts/plan_window.py
+# from CORRECTNESS_r01-r05, then padded from 34 to the full 50 with
+# changed-code re-checks): 1 flagship; the r05 red recheck
+# q_array_agg_distinct (fixed: langs joined to a scalar string per the
+# q_agg_collect_sorted house rule); the 2 queries newly declared THIS
+# round straight into the window (q_ivfpq_topk WEAK,
+# q_incremental_ingest EXACT) — the last two library tiers, closing
+# the declare-with-evidence ledger at 219/219; one sentinel per module
+# family (plan_window's rotation); then the padding: every other
+# corpus.py query (the file the red fix touched), the full similarity
+# consumer set (pq.py imports and normalizes the shared corpus memo),
+# the house-rule sibling q_agg_collect_sorted, the historically-red
+# q_bool_aggs, and two extra finance sentinels.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # never-checked remainder (38): aggregates tier 3 + reshape
-    "q_explode_outer",
-    "q_bitmap_distinct",
-    "q_mode_by_group",
-    "q_moments",
-    "q_regr_ols",
-    # corpus assembly remainder + semantic dedup (WEAK)
-    "q_semantic_dedup",
-    "q_domain_mix",
-    "q_source_cap",
-    "q_pii_redact",
-    "q_chunk_windows",
+    # r05 red recheck — the fix this window exists to witness
     "q_array_agg_distinct",
-    "q_corpus_stats",
-    # analytics2/3 remainder
-    "q_event_transitions",
-    "q_ohlc_daily_reagg",
-    "q_sessionize_gaps",
-    "q_scd2_build",
-    "q_dq_expectations",
-    "q_triangle_count",
-    "q_ewma",
-    "q_embed_standardize",
-    # finance indicator tier (11)
-    "q_drawdown",
-    "q_bollinger",
-    "q_vwap",
-    "q_rsi",
-    "q_stochastic",
-    "q_obv",
-    "q_macd",
-    "q_beta",
-    "q_atr",
-    "q_golden_cross",
-    "q_sharpe",
-    # mergeable sketches (WEAK by nature — rows-only driver rows)
-    "q_hll_distinct",
-    "q_hll_union",
-    "q_theta_setops",
-    "q_kll_quantiles",
     # declared this round, checked this round (zero evidence debt)
-    "q_stream_pair_outer",
-    "q_frequent_items",
-    "q_rollup_merge",
-    # sentinels: plan-changed rechecks first, then one per green family
-    "q_pagerank",
-    "q_join_range",
-    "q_bool_aggs",
+    "q_ivfpq_topk",
+    "q_incremental_ingest",
+    # sentinels: one green query per module family (plan_window.py)
     "q_select_exprs",
     "q_variant_get",
+    "q_udf_py",
     "q_dedup_clusters",
-    "q_decontaminate",
+    "q_domain_mix",
     "q_dedup_text",
+    "q_embed_standardize",
     "q_multimodal_meta",
     "q_repetition_score",
+    "q_semantic_dedup",
+    "q_text_stats",
+    "q_bitmap_distinct",
+    "q_scan_parquet",
+    "q_frequent_items",
+    "q_rollup_merge",
+    "q_join_range",
+    "q_explode_outer",
+    "q_union_by_name",
+    "q_hll_distinct",
+    "q_win_rownum",
+    "q_cohort_retention",
+    "q_event_transitions",
+    "q_sessionize_gaps",
+    "q_drawdown",
+    "q_recursive_bfs",
+    "q_priority_wait",
+    "q_pricing_summary",
+    "q_python_datasource",
+    "q_stream_pair_outer",
+    "q_stream_tumbling",
+    # changed-file re-checks: the rest of llm/corpus.py
+    "q_corpus_stats",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_chunk_windows",
+    "q_source_cap",
+    "q_span_dedup",
+    "q_pack_contexts",
+    # similarity consumers of the corpus/IVF memos pq.py now shares
     "q_cosine_topk",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_topk",
+    "q_embed_neardup",
+    "q_embed_join",
+    # the house-rule sibling + the historically-red width case
+    "q_agg_collect_sorted",
+    "q_bool_aggs",
+    # extra finance-family sentinels (largest module, one slot above)
+    "q_vwap",
+    "q_rsi",
 )
 
-# Rotation bookkeeping. Surface at round 5: 217 declared (214 frozen
-# through r04 + 3 declared in r05 directly into the window). After the
-# r05 window runs, NOTHING remains never-driver-checked — every query
-# has a CORRECTNESS_r* row (hash-green, or rows-only for the WEAK
-# oracle=None set). From r06 on the window budget is: flagship + any
-# red rechecks + newly declared queries (declare-with-evidence: a new
-# query enters the same round's window or doesn't get declared) +
-# family sentinels rotating through the green families.
+# Rotation bookkeeping. Surface at round 6: 219 declared (217 frozen
+# through r05 + the 2 last library tiers declared in r06 directly into
+# the window: q_ivfpq_topk, q_incremental_ingest). Every query has a
+# CORRECTNESS_r* row (hash-green, or rows-only for the WEAK
+# oracle=None set); the declare-with-evidence ledger is closed — no
+# staged candidates remain. The per-round window budget: flagship +
+# any red rechecks + newly declared queries (a new query enters the
+# same round's window or doesn't get declared) + family sentinels
+# rotating through the green families, padded to the full 50 with
+# re-checks of any file changed that round.
 #
 # `python scripts/plan_window.py` derives the next rotation from the
 # recorded CORRECTNESS_r*.json evidence (reds first, then
 # never-checked, then family sentinels) — run it at round start.
-#
-# r06 declaration candidates (library tiers already built + tested,
-# each needs only its @register binding and a window slot):
-#   q_ivfpq_topk — llm/pq.ivfpq_topk (WEAK: k-means not SQL-
-#     expressible; recall floor vs the exact rung + determinism +
-#     ADC-exactness pinned in tests/test_pq.py, as for the LSH/IVF
-#     rungs). Unit-normalize inputs via pq.with_normalized.
-#   q_backfill_partitions — sources/sinks dynamic-partition repair
-#     (unit-tested; oracle = read-back GROUP BY after the repair).
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -231,6 +231,10 @@ def write_target_size(df: DataFrame, path: str,
     def _heads(batches):
         taken = 0
         for pdf in batches:
+            if len(pdf) == 0:
+                # a zero-row Arrow batch mid-stream is not quota
+                # exhaustion — skip it, keep sampling this partition
+                continue
             take = min(len(pdf), per_part - taken)
             if take <= 0:
                 return

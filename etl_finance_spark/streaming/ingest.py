@@ -81,3 +81,79 @@ class _CountingSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.n_batches += 1
         self.fn(batch_df, batch_id)
+
+
+# ---------------------------------------------------------------------------
+# Declared query — the batch-observable projection of the file-log tier
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    LongType, StringType, StructField, StructType,
+)
+
+from etl_finance_spark.registry import register  # noqa: E402
+
+# Deliberately ts-free: the stream reads the fixture parquet RAW (the
+# landing-zone shape — no catalog.table normalization layer exists in
+# front of a landing zone), so the schema selects only layout-stable
+# columns and the ts dual-physical-layout issue never arises.
+_INGEST_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+])
+
+
+@register(
+    "q_incremental_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS events,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event,
+           CAST(0 AS BIGINT) AS rerun_batches
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental ingestion, projected to a batch-
+    checkable result: run the checkpointed AvailableNow refresh over
+    the events landing path TWICE into a parquet sink, then aggregate
+    what landed. Files-seen-once semantics make the output equal ONE
+    copy of the source (the oracle's plain GROUP BY over events), and
+    the witnessed second-run batch count is exposed as a column the
+    oracle pins to 0 — a re-run after no new drops must cost nothing.
+    Fresh checkpoint/sink dirs per call keep the query idempotent for
+    repeated harness invocations; the sink is an executor-side
+    append (no driver collect)."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="q_incremental_ingest_")
+    ck, out = f"{work}/ck", f"{work}/out"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    # The file source's path must be a DIRECTORY (the landing zone);
+    # stage the fixture file into one — symlinked, so no data copy.
+    src = f"{work}/landing"
+    os.mkdir(src)
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    except OSError:  # pragma: no cover - symlink-less FS
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
+    rerun_batches = incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
+    return (
+        spark.read.schema(_INGEST_SCHEMA).parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .withColumn("rerun_batches", F.lit(rerun_batches).cast("long"))
+    )

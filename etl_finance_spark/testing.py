@@ -155,7 +155,30 @@ def oracle_arrow_schema(con, oracle: str) -> "pa.Schema":
 def compare(spark_df, con, oracle: str) -> tuple[bool, str]:
     """Return (ok, message). Mirrors count/columns/value-multiset, plus a
     type-width check (int64 vs HUGEINT, bool vs int) the driver's value
-    hash is sensitive to but Python `==` is not."""
+    hash is sensitive to but Python `==` is not.
+
+    Collection-typed result columns (array/map/struct) are rejected
+    outright for oracle-checked queries: the driver canonicalizes via
+    pandas ``sort_values``, whose hashtable factorize dies on list/dict
+    cells (``TypeError: unhashable type``) — the r05 ``q_array_agg_
+    distinct`` red that the old tuple-multiset comparison let through.
+    EXACT queries must join collections to scalars at the boundary
+    (the q_agg_collect_sorted house rule); only WEAK (oracle=None)
+    queries, which never reach the driver hasher, may expose them.
+    """
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        return False, (
+            f"collection-typed result columns {bad} would crash the "
+            "driver's pandas canonicalizer — array_join/to_json them to "
+            "scalars (q_agg_collect_sorted rule) or declare WEAK"
+        )
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     cur = con.execute(oracle)

@@ -60,6 +60,8 @@ BROADCAST_HINT_ALLOWED = {
     "q_frequent_items": "the NULL-marker group of a groupBy(item) "
                         "aggregate — exactly <=1 row; the persist cache "
                         "boundary hides the Aggregate from the prover",
+    "q_ivfpq_topk": "N_QUERY-capped query side + 1-row packed quantizer "
+                    "and codebook models (checkpointed)",
 }
 # The quantizer-model sides read differently depending on session memo
 # state: un-materialized, the checkpoint lineage still shows its global
@@ -68,7 +70,7 @@ BROADCAST_HINT_ALLOWED = {
 # surface as unbounded in a given session — exempt from the two-way
 # staleness assertion only.
 BROADCAST_HINT_STATE_DEPENDENT = {
-    "q_ann_ivf_topk", "q_semantic_dedup", "q_ann_lsh_topk",
+    "q_ann_ivf_topk", "q_semantic_dedup", "q_ann_lsh_topk", "q_ivfpq_topk",
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(")

@@ -221,3 +221,22 @@ def test_pq_empty_input_schema_stable(spark):
     out = pq_encode(emb, books)
     assert out.columns == ["vec_id", "codes"]
     assert out.count() == 0
+
+
+def test_q_ivfpq_topk_declared_query(spark):
+    """The declared (WEAK) driver-surface form: full top-k per query
+    over the shared session corpus, rank contract identical to the
+    sibling rungs (1..k per qid, no self-pairs, scores in [-1, 1]
+    after 6dp rounding)."""
+    from etl_finance_spark.llm.pq import q_ivfpq_topk
+    from etl_finance_spark.llm.similarity import N_QUERY
+
+    rows = q_ivfpq_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERY * TOP_K
+    by_q = {}
+    for r in rows:
+        assert r.qid != r.cid
+        assert -1.0 - 1e-6 <= r.approx_cos <= 1.0 + 1e-6
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert set(by_q) == set(range(N_QUERY))
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())

@@ -265,6 +265,33 @@ def test_compare_rejects_bool_int_drift(spark, duck):
     assert not ok and "type widths differ" in msg
 
 
+def test_compare_rejects_collection_typed_outputs(spark, duck):
+    """The round-5 q_array_agg_distinct red: the driver canonicalizes
+    through pandas sort_values, whose factorize hashtable dies on list
+    cells — but the old tuple-multiset comparison here passed them. A
+    raw array/map/struct result column must now FAIL the local harness
+    for oracle-checked queries (the q_agg_collect_sorted rule: join
+    collections to scalars at the boundary); the joined-to-string form
+    of the same query must pass."""
+    from etl_finance_spark.testing import compare
+
+    df = spark.range(3).selectExpr("array_sort(collect_set(id)) AS ids")
+    ok, msg = compare(
+        df, duck, "SELECT list_sort(list(x)) AS ids FROM range(3) t(x)"
+    )
+    assert not ok and "collection-typed" in msg
+    df = spark.range(3).selectExpr(
+        "array_join(transform(array_sort(collect_set(id)),"
+        " x -> CAST(x AS STRING)), ',') AS ids"
+    )
+    ok, msg = compare(
+        df, duck,
+        "SELECT array_to_string(list_sort(list(x)), ',') AS ids"
+        " FROM range(3) t(x)",
+    )
+    assert ok, msg
+
+
 def test_events_between_subsecond_bounds(spark):
     """Range endpoints with fractional seconds must filter at the exact
     ns boundary, not the truncated whole second (round-1 ADVICE)."""
