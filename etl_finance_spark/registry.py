@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "etl_finance_spark.operators.incremental",
     "etl_finance_spark.llm.pq",
     "etl_finance_spark.streaming.ingest",
+    "etl_finance_spark.sources.sinks",
 )
 
 # The driver oracle-checks exactly the FIRST ~50 names in the order
@@ -81,8 +82,9 @@ _QUERY_MODULES = (
 # q_array_agg_distinct (fixed: langs joined to a scalar string per the
 # q_agg_collect_sorted house rule); the 2 queries newly declared THIS
 # round straight into the window (q_ivfpq_topk WEAK,
-# q_incremental_ingest EXACT) — the last two library tiers, closing
-# the declare-with-evidence ledger at 219/219; one sentinel per module
+# q_incremental_ingest EXACT, q_backfill_partitions EXACT) — the last
+# library tiers, closing
+# the declare-with-evidence ledger at 220/220; one sentinel per module
 # family (plan_window's rotation); then the padding: every other
 # corpus.py query (the file the red fix touched), the full similarity
 # consumer set (pq.py imports and normalizes the shared corpus memo),
@@ -96,6 +98,7 @@ _DRIVER_WINDOW = (
     # declared this round, checked this round (zero evidence debt)
     "q_ivfpq_topk",
     "q_incremental_ingest",
+    "q_backfill_partitions",
     # sentinels: one green query per module family (plan_window.py)
     "q_select_exprs",
     "q_variant_get",
@@ -144,17 +147,18 @@ _DRIVER_WINDOW = (
     # the house-rule sibling + the historically-red width case
     "q_agg_collect_sorted",
     "q_bool_aggs",
-    # extra finance-family sentinels (largest module, one slot above)
+    # extra finance-family sentinel (largest module, one slot above)
     "q_vwap",
-    "q_rsi",
 )
 
-# Rotation bookkeeping. Surface at round 6: 219 declared (217 frozen
-# through r05 + the 2 last library tiers declared in r06 directly into
-# the window: q_ivfpq_topk, q_incremental_ingest). Every query has a
-# CORRECTNESS_r* row (hash-green, or rows-only for the WEAK
-# oracle=None set); the declare-with-evidence ledger is closed — no
-# staged candidates remain. The per-round window budget: flagship +
+# Rotation bookkeeping. Surface at round 6: 220 declared (217 frozen
+# through r05 + the 3 last library tiers declared in r06 directly into
+# the window: q_ivfpq_topk, q_incremental_ingest, and
+# q_backfill_partitions — both r05-staged candidates are now
+# declared). Every query has a CORRECTNESS_r* row (hash-green, or
+# rows-only for the WEAK oracle=None set); the declare-with-evidence
+# ledger is closed — no staged candidates remain. The per-round
+# window budget: flagship +
 # any red rechecks + newly declared queries (a new query enters the
 # same round's window or doesn't get declared) + family sentinels
 # rotating through the green families, padded to the full 50 with

@@ -317,3 +317,66 @@ def compact_partitions(spark: SparkSession, path: str,
         raise
     _shutil.rmtree(bak)
     return before
+
+
+# ---------------------------------------------------------------------------
+# Declared query — the batch-observable projection of the backfill sink
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_finance_spark.catalog import table  # noqa: E402
+from etl_finance_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q_backfill_partitions",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS orders,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'v2' ELSE 'v1' END
+               AS batch
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition repair, projected to an oracle-checkable
+    read-back: write orders partitioned by priority tagged 'v1', then
+    backfill ONLY the 1-URGENT partition with a 'v2' re-run, and
+    aggregate the table at rest. The oracle pins the three properties
+    the sink exists for — the repaired partition is fully REPLACED
+    (same row count, batch flips to v2; an append would double it),
+    every other partition is untouched (original counts, batch v1; a
+    static overwrite would drop them), and the repair is idempotent
+    (same GROUP BY from the same source). Work dir is process-temp,
+    removed at exit; the frame is consumed in-process."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="q_backfill_partitions_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    path = f"{work}/orders_by_priority"
+
+    orders = table(spark, sf_dir, "orders").withColumn("batch", F.lit("v1"))
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    repaired = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("batch", F.lit("v2"))
+    )
+    backfill_partitions(repaired, path, ["o_orderpriority"])
+    # explicit read schema: on an empty source the write leaves no
+    # partition directories, so inference has nothing to discover the
+    # partition column from (and would fail); the schema is also what
+    # keeps the result layout data-independent
+    return (
+        spark.read.schema(orders.schema).parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("orders"),
+            # exactly one batch tag per partition post-repair; max is a
+            # plain witness that collapses identical values
+            F.max("batch").alias("batch"),
+        )
+    )

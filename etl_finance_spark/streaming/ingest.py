@@ -127,11 +127,16 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fresh checkpoint/sink dirs per call keep the query idempotent for
     repeated harness invocations; the sink is an executor-side
     append (no driver collect)."""
+    import atexit
     import os
     import shutil
     import tempfile
 
     work = tempfile.mkdtemp(prefix="q_incremental_ingest_")
+    # the frame is consumed in-process (driver collect / noop sink), so
+    # the checkpoint + staged output can go with the process — without
+    # this every harness invocation leaks a dir onto /tmp forever
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     ck, out = f"{work}/ck", f"{work}/out"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -139,12 +144,15 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The file source's path must be a DIRECTORY (the landing zone);
     # stage the fixture file into one — symlinked, so no data copy.
+    # abspath: the link lives in /tmp, so a relative sf_dir (which
+    # catalog.table accepts fine) would otherwise dangle.
+    fixture = os.path.abspath(f"{sf_dir}/events.parquet")
     src = f"{work}/landing"
     os.mkdir(src)
     try:
-        os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        os.symlink(fixture, f"{src}/events.parquet")
     except OSError:  # pragma: no cover - symlink-less FS
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        shutil.copy(fixture, f"{src}/events.parquet")
     incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
     rerun_batches = incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
     return (
