@@ -80,16 +80,15 @@ _QUERY_MODULES = (
 # from CORRECTNESS_r01-r05, then padded from 34 to the full 50 with
 # changed-code re-checks): 1 flagship; the r05 red recheck
 # q_array_agg_distinct (fixed: langs joined to a scalar string per the
-# q_agg_collect_sorted house rule); the 2 queries newly declared THIS
+# q_agg_collect_sorted house rule); the 3 queries newly declared THIS
 # round straight into the window (q_ivfpq_topk WEAK,
 # q_incremental_ingest EXACT, q_backfill_partitions EXACT) — the last
-# library tiers, closing
-# the declare-with-evidence ledger at 220/220; one sentinel per module
-# family (plan_window's rotation); then the padding: every other
-# corpus.py query (the file the red fix touched), the full similarity
-# consumer set (pq.py imports and normalizes the shared corpus memo),
-# the house-rule sibling q_agg_collect_sorted, the historically-red
-# q_bool_aggs, and two extra finance sentinels.
+# library tiers, closing the declare-with-evidence ledger at 220/220;
+# one sentinel per module family (plan_window's rotation); then the
+# padding: every other corpus.py query (the file the red fix touched),
+# the full similarity consumer set (pq.py imports and normalizes the
+# shared corpus memo), the house-rule sibling q_agg_collect_sorted,
+# the historically-red q_bool_aggs, and one extra finance sentinel.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",

@@ -347,9 +347,10 @@ def q_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink exists for — the repaired partition is fully REPLACED
     (same row count, batch flips to v2; an append would double it),
     every other partition is untouched (original counts, batch v1; a
-    static overwrite would drop them), and the repair is idempotent
-    (same GROUP BY from the same source). Work dir is process-temp,
-    removed at exit; the frame is consumed in-process."""
+    static overwrite would drop them), and the repair is idempotent:
+    the backfill runs TWICE, so a replace that degraded to an append
+    on re-run would double the repaired count and go red. Work dir is
+    process-temp, removed at exit; the frame is consumed in-process."""
     import atexit
     import shutil
     import tempfile
@@ -360,12 +361,14 @@ def q_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders").withColumn("batch", F.lit("v1"))
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    # withColumn replaces the v1 tag in place — same source frame, same
+    # column position, no second fixture scan
     repaired = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .withColumn("batch", F.lit("v2"))
     )
     backfill_partitions(repaired, path, ["o_orderpriority"])
+    backfill_partitions(repaired, path, ["o_orderpriority"])  # idempotence
     # explicit read schema: on an empty source the write leaves no
     # partition directories, so inference has nothing to discover the
     # partition column from (and would fail); the schema is also what
