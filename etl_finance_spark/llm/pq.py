@@ -464,6 +464,20 @@ def q_ivfpq_topk(spark: "SparkSession", sf_dir: str) -> DataFrame:
     )
 
     emb = with_normalized(_corpus_unit_vecs(spark, sf_dir))
+    # Small-input parallelization, guarded to a no-op at scale: a
+    # bench-sized corpus scans into ONE partition (15 MB <
+    # maxPartitionBytes), serializing the encode/rerank projections
+    # onto one core; hash-repartitioning it to the core count is a
+    # ~15 MB shuffle that parallelizes them (A/B'd ~1.5s at sf0.1).
+    # A real corpus already scans into >> cores partitions, so the
+    # guard never fires there — an unconditional repartition WOULD
+    # downsize a 100 TB scan, which is why the probe exists. Models
+    # come from the session memos, so training never sees the widened
+    # frame (widening training was measured slower). Results are
+    # partition-invariant by construction (pinned in tests/test_pq.py).
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par, "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERY)
     return ivfpq_topk(emb, queries, TOP_K,
                       cent=_corpus_ivf_model(spark, sf_dir),
