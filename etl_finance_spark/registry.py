@@ -76,96 +76,88 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-6 composition (exactly 50, derived by scripts/plan_window.py
-# from CORRECTNESS_r01-r05, then padded from 34 to the full 50 with
-# changed-code re-checks): 1 flagship; the r05 red recheck
-# q_array_agg_distinct (fixed: langs joined to a scalar string per the
-# q_agg_collect_sorted house rule); the 3 queries newly declared THIS
-# round straight into the window (q_ivfpq_topk WEAK,
-# q_incremental_ingest EXACT, q_backfill_partitions EXACT) — the last
-# library tiers, closing the declare-with-evidence ledger at 220/220;
-# one sentinel per module family (plan_window's rotation); then the
-# padding: every other corpus.py query (the file the red fix touched),
-# the full similarity consumer set (pq.py imports and normalizes the
-# shared corpus memo), the house-rule sibling q_agg_collect_sorted,
-# the historically-red q_bool_aggs, and one extra finance sentinel.
+# Round-7 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_incremental_ingest` from
+# CORRECTNESS_r01-r06): 1 flagship; 0 reds (the cumulative ledger is
+# zero-red since r06); 1 changed-file re-check (q_incremental_ingest's
+# sink became batch_id-keyed overwrite this round); 0 never-checked
+# (the surface closed at 220 in r06); then the STALENESS FILL — all
+# 35 queries whose last driver evidence was r01 plus the 13 oldest
+# r02 queries, oldest evidence first. Staleness fill replaced the
+# one-per-family sentinel rotation in r07: evidence ages as
+# PySpark/DuckDB configs drift, so free slots always go to the
+# longest-unchecked greens (families re-cover naturally because their
+# members age together).
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # r05 red recheck — the fix this window exists to witness
-    "q_array_agg_distinct",
-    # declared this round, checked this round (zero evidence debt)
-    "q_ivfpq_topk",
+    # changed-file re-check: ingest sink now batch_id-scoped overwrite
     "q_incremental_ingest",
-    "q_backfill_partitions",
-    # sentinels: one green query per module family (plan_window.py)
-    "q_select_exprs",
-    "q_variant_get",
-    "q_udf_py",
-    "q_dedup_clusters",
-    "q_domain_mix",
-    "q_dedup_text",
-    "q_embed_standardize",
-    "q_multimodal_meta",
-    "q_repetition_score",
-    "q_semantic_dedup",
-    "q_text_stats",
-    "q_bitmap_distinct",
-    "q_scan_parquet",
-    "q_frequent_items",
-    "q_rollup_merge",
-    "q_join_range",
-    "q_explode_outer",
-    "q_union_by_name",
-    "q_hll_distinct",
-    "q_win_rownum",
-    "q_cohort_retention",
-    "q_event_transitions",
-    "q_sessionize_gaps",
-    "q_drawdown",
-    "q_recursive_bfs",
-    "q_priority_wait",
-    "q_pricing_summary",
-    "q_python_datasource",
-    "q_stream_pair_outer",
-    "q_stream_tumbling",
-    # changed-file re-checks: the rest of llm/corpus.py
-    "q_corpus_stats",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_chunk_windows",
-    "q_source_cap",
-    "q_span_dedup",
-    "q_pack_contexts",
-    # similarity consumers of the corpus/IVF memos pq.py now shares
-    "q_cosine_topk",
-    "q_ann_ivf_topk",
-    "q_ann_lsh_topk",
-    "q_embed_neardup",
-    "q_embed_join",
-    # the house-rule sibling + the historically-red width case
-    "q_agg_collect_sorted",
-    "q_bool_aggs",
-    # extra finance-family sentinel (largest module, one slot above)
-    "q_vwap",
+    # staleness fill: every r01-evidence query (oldest first) ...
+    "q_win_rank",
+    "q_win_running_sum",
+    "q_win_moving_avg",
+    "q_win_ntile",
+    "q_union_all",
+    "q_add_literal",
+    "q_project_drop",
+    "q_project_rename",
+    "q_filter_isin",
+    "q_filter_nonempty",
+    "q_coalesce",
+    "q_cast",
+    "q_date_format",
+    "q_unix_ts",
+    "q_multi_format_ts",
+    "q_month_seq",
+    "q_lower",
+    "q_array_transform",
+    "q_array_field",
+    "q_to_json",
+    "q_json_get",
+    "q_from_json",
+    "q_stats_agg",
+    "q_dedup_keys",
+    "q_join_anti",
+    "q_filter_range",
+    "q_case_when",
+    "q_fillna_mean",
+    "q_pct_change_lag",
+    "q_join_outer",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_cross",
+    "q_join_asof",
+    # ... then the 13 oldest r02-evidence queries
+    "q_jaccard_pairs",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_jaccard_prefix",
+    "q_docs_by_lang",
+    "q_term_freq",
+    "q_lang_id",
+    "q_text_quality",
+    "q_token_count",
+    "q_edit_distance",
+    "q_tfidf",
+    "q_fingerprint",
 )
 
-# Rotation bookkeeping. Surface at round 6: 220 declared (217 frozen
-# through r05 + the 3 last library tiers declared in r06 directly into
-# the window: q_ivfpq_topk, q_incremental_ingest, and
-# q_backfill_partitions — both r05-staged candidates are now
-# declared). Every query has a CORRECTNESS_r* row (hash-green, or
-# rows-only for the WEAK oracle=None set); the declare-with-evidence
-# ledger is closed — no staged candidates remain. The per-round
-# window budget: flagship +
-# any red rechecks + newly declared queries (a new query enters the
-# same round's window or doesn't get declared) + family sentinels
-# rotating through the green families, padded to the full 50 with
-# re-checks of any file changed that round.
+# Rotation bookkeeping. Surface closed at 220 in round 6; every query
+# has a CORRECTNESS_r* row (hash-green, or rows-only for the WEAK
+# oracle=None set) and the ledger has been zero-red since r06. The
+# per-round window budget: flagship + any red rechecks + changed-file
+# re-checks (--recheck) + newly declared queries (a new query enters
+# the same round's window or doesn't get declared) + staleness fill
+# (oldest driver evidence first) to the full 50.
 #
-# `python scripts/plan_window.py` derives the next rotation from the
-# recorded CORRECTNESS_r*.json evidence (reds first, then
-# never-checked, then family sentinels) — run it at round start.
+# `python scripts/plan_window.py [--recheck a,b]` derives the next
+# rotation from the recorded CORRECTNESS_r*.json evidence (reds,
+# rechecks, never-checked, then staleness fill) and refuses any window
+# whose EXACT oracles return collection-typed columns — run it at
+# round start.
 
 
 def _window_order(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

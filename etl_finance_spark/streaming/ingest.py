@@ -83,6 +83,37 @@ class _CountingSink:
         self.fn(batch_df, batch_id)
 
 
+def parquet_batch_sink(out: str) -> Callable[[DataFrame, int], None]:
+    """batch_id-keyed idempotent parquet sink: each micro-batch lands
+    in its own ``b{batch_id}`` directory with OVERWRITE, so redelivery
+    of the last uncommitted batch (the streaming at-least-once seam)
+    rewrites its own directory and converges instead of
+    double-appending — the foreachBatch contract the module docstring
+    asks of every sink. Directory names carry no ``=`` so read-back
+    never triggers partition-column discovery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id:09d}")
+
+    return sink
+
+
+def read_batch_dirs(spark: SparkSession, out: str, schema) -> DataFrame:
+    """Read back everything ``parquet_batch_sink(out)`` landed. An
+    empty landing run (zero batches ever executed — the source had no
+    files) returns an empty frame of the given schema instead of
+    failing PATH_NOT_FOUND on a directory no batch ever created."""
+    import os
+
+    dirs = (
+        sorted(e.path for e in os.scandir(out) if e.is_dir())
+        if os.path.isdir(out) else []
+    )
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
 # ---------------------------------------------------------------------------
 # Declared query — the batch-observable projection of the file-log tier
 # ---------------------------------------------------------------------------
@@ -125,8 +156,10 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the witnessed second-run batch count is exposed as a column the
     oracle pins to 0 — a re-run after no new drops must cost nothing.
     Fresh checkpoint/sink dirs per call keep the query idempotent for
-    repeated harness invocations; the sink is an executor-side
-    append (no driver collect)."""
+    repeated harness invocations; the sink is the batch_id-keyed
+    overwrite sink (executor-side, no driver collect), so even a
+    redelivered uncommitted batch would converge rather than
+    double-count."""
     import atexit
     import os
     import shutil
@@ -138,9 +171,7 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this every harness invocation leaks a dir onto /tmp forever
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     ck, out = f"{work}/ck", f"{work}/out"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
+    sink = parquet_batch_sink(out)
 
     # The file source's path must be a DIRECTORY (the landing zone);
     # stage the fixture file into one — symlinked, so no data copy.
@@ -156,7 +187,7 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
     rerun_batches = incremental_ingest(spark, src, _INGEST_SCHEMA, ck, sink)
     return (
-        spark.read.schema(_INGEST_SCHEMA).parquet(out)
+        read_batch_dirs(spark, out, _INGEST_SCHEMA)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("events"),

@@ -6,18 +6,32 @@ is a delicate manual step (history: two queries slipped at positions
 51-52 for two straight rounds). This script derives the rotation from
 the recorded evidence instead:
 
-    python scripts/plan_window.py          # propose from CORRECTNESS_r*.json
+    python scripts/plan_window.py                 # propose from CORRECTNESS_r*.json
+    python scripts/plan_window.py --recheck a,b   # pin changed-file re-checks
 
 Priority order inside the 50:
 1. the flagship (always position 1 — it is also `entry()`),
-2. every query RED in the latest correctness file (fix-recheck),
-3. every query never driver-checked in ANY round (oldest families
-   first = registration order),
-4. sentinel re-checks: one green query per module family, filling the
-   remaining slots (rotating families so each gets periodic re-cover).
+2. every query RED at its most recent check (fix-recheck),
+3. --recheck names: queries whose plan changed this round (the
+   changed-file rule) — they re-earn evidence the same round,
+4. every query never driver-checked in ANY round (registration order),
+5. staleness fill: all remaining queries ordered by the round they
+   were last checked, OLDEST FIRST (ties in registration order) —
+   driver evidence ages as PySpark/DuckDB configs drift, so free
+   slots always go to the longest-unchecked greens. This subsumes the
+   old one-per-family sentinel rotation: families re-cover naturally
+   because their members age together.
 
-Prints a ready-to-paste Python tuple plus the leftover count (queries
-that still will not fit — the next-next round's backlog).
+Any window candidate whose query is EXACT (oracle declared) is guarded
+against collection-typed result columns by probing the ORACLE's arrow
+schema at sf0.001 (cheap LIMIT-0): engine and oracle schemas must
+match, so a list/map/struct column in the oracle means the Spark side
+would hand the driver's pandas hasher an unhashable cell — the r05
+`q_array_agg_distinct` red. testing.compare enforces the same rule at
+check time; enforcing it at PLANNING time stops a WEAK→EXACT promotion
+from burning a driver slot on a guaranteed red.
+
+Prints a ready-to-paste Python tuple.
 """
 
 from __future__ import annotations
@@ -33,6 +47,7 @@ from etl_finance_spark import registry  # noqa: E402
 
 WINDOW = 50
 FLAGSHIP = "q_pct_change_hourly"
+GUARD_SF_DIR = "/root/testdata/sf0.001"
 
 
 def is_green(name: str, row: dict, specs: dict) -> bool:
@@ -58,7 +73,68 @@ def is_green(name: str, row: dict, specs: dict) -> bool:
     return bool(weak and row.get("rows_match"))
 
 
+def last_checked(files: list[str]) -> dict[str, int]:
+    """name -> most recent round with ANY driver row for it."""
+    out: dict[str, int] = {}
+    for f in files:  # sorted ascending — later rounds override
+        r = int(f.split("_r")[1].split(".")[0])
+        for n in json.load(open(f)):
+            out[n] = r
+    return out
+
+
+def collection_guard(specs: dict, window: list[str],
+                     sf_dir: str = GUARD_SF_DIR) -> list[str]:
+    """Return the window names whose ORACLE result schema contains a
+    collection-typed column (would crash the driver's pandas hasher).
+    Empty list = window is safe. Mirrors testing.compare's rejection,
+    applied before a slot is spent."""
+    import pyarrow as pa
+
+    from etl_finance_spark.testing import duck_connect, oracle_arrow_schema
+
+    exact = [n for n in window
+             if n in specs and specs[n].oracle is not None]
+    if not exact:
+        return []
+    con = duck_connect(sf_dir)
+    bad: list[str] = []
+    for n in exact:
+        schema = oracle_arrow_schema(con, specs[n].oracle)
+        if any(
+            pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_map(t) or pa.types.is_struct(t)
+            for t in schema.types
+        ):
+            bad.append(n)
+    return bad
+
+
+def propose(specs: dict, latest_row: dict[str, dict],
+            last_round: dict[str, int],
+            rechecks: list[str] = ()) -> list[str]:
+    reds = sorted(n for n, row in latest_row.items()
+                  if not is_green(n, row, specs))
+    never = [n for n in specs if n not in latest_row]
+    order = {n: i for i, n in enumerate(specs)}  # registration order
+    stale = sorted(
+        (n for n in specs if n in last_round),
+        key=lambda n: (last_round[n], order[n]),
+    )
+    window: list[str] = [FLAGSHIP]
+    for tier in (reds, rechecks, never, stale):
+        for n in tier:
+            if n not in window and n in specs and len(window) < WINDOW:
+                window.append(n)
+    return window
+
+
 def main() -> int:
+    rechecks: list[str] = []
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--recheck":
+        rechecks = [n for n in argv[1].split(",") if n]
+        argv = argv[2:]
     specs = registry.collect()
     files = sorted(glob.glob("CORRECTNESS_r*.json"))
     if not files:
@@ -68,52 +144,28 @@ def main() -> int:
     # just the latest file: a red that misses the very next window must
     # stay red-tracked until some later round actually re-checks it
     latest_row: dict[str, dict] = {}
-    for f in files:  # sorted ascending — later rounds override
+    for f in files:
         latest_row.update(json.load(open(f)))
-    checked = set(latest_row)
-    reds = sorted(n for n, row in latest_row.items()
-                  if not is_green(n, row, specs))
-    never = [n for n in specs if n not in checked]  # registration order
-    by_module: dict[str, list[str]] = {}
-    for name, spec in specs.items():
-        by_module.setdefault(spec.fn.__module__, []).append(name)
-
-    # reserve a handful of slots for family sentinels (the established
-    # window practice: never-checked queries lead, but each green family
-    # keeps periodic re-cover and any plan-changed query gets rechecked)
-    reserve = 6 if len(never) > WINDOW - 1 else 0
-    window: list[str] = [FLAGSHIP]
-    for n in reds:
-        if n not in window and len(window) < WINDOW:
-            window.append(n)
-    cap = WINDOW - reserve
-    dropped = [n for n in never if n not in window][max(0, cap - len(window)):]
-    for n in never:
-        if n not in window and len(window) < cap:
-            window.append(n)
-    # sentinels: one green, previously-checked query per family
-    for mod, names in sorted(by_module.items()):
-        if len(window) >= WINDOW:
-            break
-        for n in names:
-            if n in checked and n not in window:
-                window.append(n)
-                break
-    # spare slots left after sentinels go back to the backlog
-    for n in list(dropped):
-        if len(window) >= WINDOW:
-            break
-        window.append(n)
-        dropped.remove(n)
-    print(f"# proposed window ({len(window)} names; "
-          f"{len(reds)} red recheck, {len(never) - len(dropped)} "
-          f"never-checked, {len(dropped)} left for next round)")
+    last_round = last_checked(files)
+    window = propose(specs, latest_row, last_round, rechecks)
+    bad = collection_guard(specs, window)
+    if bad:
+        print(f"REFUSING window: oracle returns collection-typed "
+              f"columns for {bad} — array_join/to_json to scalars or "
+              f"declare WEAK first", file=sys.stderr)
+        return 2
+    reds = [n for n in window
+            if n in latest_row and not is_green(n, latest_row[n], specs)]
+    n_never = len([n for n in window if n not in last_round])
+    oldest = min((last_round[n] for n in window if n in last_round),
+                 default=None)
+    print(f"# proposed window ({len(window)} names; {len(reds)} red "
+          f"recheck, {len(rechecks)} changed-file, {n_never} "
+          f"never-checked, staleness fill from r{oldest:02d})")
     print("_DRIVER_WINDOW = (")
     for n in window:
         print(f'    "{n}",')
     print(")")
-    if dropped:
-        print("# backlog (did not fit):", " ".join(dropped))
     return 0
 
 

@@ -7,7 +7,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from etl_finance_spark.streaming.ingest import incremental_ingest
+from etl_finance_spark.streaming.ingest import (
+    incremental_ingest, parquet_batch_sink, read_batch_dirs,
+)
 
 SCHEMA = StructType([
     StructField("id", LongType()),
@@ -105,3 +107,33 @@ def test_incremental_ingest_composes_with_upsert_sink(spark, tmp_path):
     assert rows == {(1, "a"), (2, "a"), (3, "b")}
     assert spark.read.parquet(target).groupBy("id").count() \
         .filter(F.col("count") > 1).count() == 0
+
+
+def test_parquet_batch_sink_redelivery_converges(spark, tmp_path):
+    """The streaming contract: foreachBatch may redeliver the LAST
+    uncommitted micro-batch after a crash. The batch_id-keyed overwrite
+    sink must converge (one copy of the batch at rest), where a blind
+    append would double-count."""
+    out = str(tmp_path / "out")
+    sink = parquet_batch_sink(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "a")], SCHEMA)
+    sink(batch, 0)
+    sink(batch, 0)  # redelivery of the same uncommitted batch
+    sink(spark.createDataFrame([(3, "b")], SCHEMA), 1)
+    rows = sorted(
+        (r["id"], r["tag"])
+        for r in read_batch_dirs(spark, out, SCHEMA).collect()
+    )
+    assert rows == [(1, "a"), (2, "a"), (3, "b")]
+
+
+def test_read_batch_dirs_empty_source_returns_empty_frame(spark, tmp_path):
+    """Zero batches ever ran (empty landing zone): the read-back must
+    return an empty frame of the declared schema, not PATH_NOT_FOUND —
+    both for a never-created out dir and a created-but-empty one."""
+    missing = read_batch_dirs(spark, str(tmp_path / "never_created"), SCHEMA)
+    assert missing.count() == 0 and missing.schema == SCHEMA
+    empty = tmp_path / "out"
+    empty.mkdir()
+    df = read_batch_dirs(spark, str(empty), SCHEMA)
+    assert df.count() == 0 and df.schema == SCHEMA

@@ -562,3 +562,67 @@ def test_plan_window_red_detection_strictness():
     assert not pw.is_green("q_exact", weak_row, specs)
     # a query de-registered since the recording stays judged by the row
     assert pw.is_green("q_gone", weak_row, specs)
+
+
+def _load_plan_window():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_window",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "plan_window.py"),
+    )
+    pw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pw)
+    return pw
+
+
+class _OracleSpec:
+    def __init__(self, oracle):
+        self.oracle = oracle
+
+
+def test_plan_window_staleness_fill_and_priorities():
+    """r07 rotation contract: flagship first, reds before changed-file
+    re-checks, never-checked before staleness fill, and the fill orders
+    by OLDEST driver evidence (ties in registration order) — the free
+    slots always go to the longest-unchecked greens."""
+    pw = _load_plan_window()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    specs = {n: _OracleSpec("SELECT 1") for n in
+             [pw.FLAGSHIP, "q_red", "q_new", "q_old_r1", "q_old_r2",
+              "q_also_r1", "q_fresh"]}
+    latest = {pw.FLAGSHIP: ok, "q_red": dict(ok, err="boom"),
+              "q_old_r1": ok, "q_also_r1": ok, "q_old_r2": ok,
+              "q_fresh": ok}
+    last_round = {pw.FLAGSHIP: 6, "q_red": 5, "q_old_r1": 1,
+                  "q_also_r1": 1, "q_old_r2": 2, "q_fresh": 6}
+    window = pw.propose(specs, latest, last_round, rechecks=["q_fresh"])
+    assert window[:4] == [pw.FLAGSHIP, "q_red", "q_fresh", "q_new"]
+    # staleness fill: r1 queries (registration order) before r2, before r6
+    assert window[4:] == ["q_old_r1", "q_also_r1", "q_old_r2"]
+    # unknown recheck names are skipped, not crashed on
+    w2 = pw.propose(specs, latest, last_round, rechecks=["q_typo"])
+    assert "q_typo" not in w2
+
+
+def test_plan_window_collection_guard_refuses_list_oracles():
+    """The r05 q_array_agg_distinct class of red, stopped at PLANNING
+    time: an EXACT window entry whose oracle returns a collection-typed
+    column (engine schema must match, so the Spark side would crash the
+    driver's pandas hasher) is refused before it burns a driver slot.
+    Scalar oracles and WEAK entries pass the guard."""
+    pw = _load_plan_window()
+    specs = {
+        "q_scalar": _OracleSpec(
+            "SELECT n_name AS name FROM nation"),
+        "q_listy": _OracleSpec(
+            "SELECT n_regionkey AS rk, list(n_name) AS names "
+            "FROM nation GROUP BY n_regionkey"),
+        "q_weak": _OracleSpec(None),
+    }
+    assert pw.collection_guard(specs, ["q_scalar", "q_weak"]) == []
+    assert pw.collection_guard(
+        specs, ["q_scalar", "q_listy", "q_weak"]) == ["q_listy"]
