@@ -1,0 +1,75 @@
+"""Wall-time scale probe for the heaviest declared queries.
+
+The 2x bench envelope is only ever *measured* at one scale factor per
+round; a super-linear blowup (candidate fan-out, Lloyd divergence,
+basket-squared join fan-out) in a heavy query would be invisible until
+the driver scales the data (VERDICT r06 item 5). This module times the
+five historically-heaviest queries at sf0.01 and sf0.1 (10x the input
+rows) and asserts the growth stays within a generous LINEAR envelope:
+
+    t(sf0.1) <= SLACK * 10 * max(t(sf0.01), FLOOR)
+
+With SLACK=4 and the fixed-overhead FLOOR, honest linear scaling
+passes even on a noisy shared host (totals swing +-15%; memory:
+bench-vm-variance), while a quadratic regression (~100x growth) fails
+by an order of magnitude. This is a REGRESSION TRIPWIRE for
+accidentally-quadratic plans, not a performance benchmark — bench.py
+and the quiet-host protocol (scripts/bench_quiet.py) own measurement.
+
+Structural scale invariants (candidate fractions, recall floors) live
+in test_scale_smoke.py; this file owns the wall-clock dimension.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from etl_finance_spark import registry
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+SF_RATIO = 10.0  # fixture row-count ratio between the two dirs
+SLACK = 4.0      # host noise + sub-linear fixed costs; quadratic = ~100x
+FLOOR = 1.0      # sec; fixed overhead floor so tiny-t denominators
+                 # (session startup, plan construction) don't dominate
+
+HEAVY = (
+    "q_ivfpq_topk",
+    "q_ann_ivf_topk",
+    "q_dedup_clusters",
+    "q_copurchase_pairs",
+    "q_percentiles",
+)
+
+
+def _timed_run(spark, fn, sf_dir: str) -> float:
+    from etl_finance_spark.lineage import release_cuts
+
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    release_cuts()  # drain outside the timer, like bench.py
+    return dt
+
+
+@pytest.mark.scaleprobe
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_query_scales_linearly(spark, name):
+    specs = registry.collect()
+    fn = specs[name].fn
+    # warm both scales once: session-memoized models (IVF quantizer, PQ
+    # codebooks) and whole-stage codegen are one-time costs shared by
+    # every consumer in a real session, not per-query marginal cost —
+    # the probe measures the MARGINAL scaling of the dataflow itself.
+    _timed_run(spark, fn, SF_SMALL)
+    _timed_run(spark, fn, SF_BIG)
+    t_small = _timed_run(spark, fn, SF_SMALL)
+    t_big = _timed_run(spark, fn, SF_BIG)
+    budget = SLACK * SF_RATIO * max(t_small, FLOOR)
+    assert t_big <= budget, (
+        f"{name}: t(sf0.1)={t_big:.2f}s vs t(sf0.01)={t_small:.2f}s — "
+        f"exceeds the linear envelope {budget:.2f}s; the plan likely "
+        f"went super-linear (candidate fan-out / join explosion)"
+    )
