@@ -139,11 +139,16 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
     cluster layout (pinned in tests/test_pq.py). Every Lloyd pass is
     one crossJoin against the broadcast model plus one <= M*KS*DSUB-row
     rollup; the corpus itself is read once for the sample."""
-    train = cut_lineage(
+    # managed_persist, NOT cut_lineage: the sample's lineage is shallow
+    # (scan + hash-order + limit), so truncation buys nothing — but the
+    # localCheckpoint planning round-trip costs ~1-2s of driver time per
+    # cold call (the r06 perf finding: these constants are driver-side,
+    # not executor compute). The persist alone gives the three
+    # consumers (seeds + each Lloyd pass) their recompute-free reads.
+    train = managed_persist(
         vectors.select("vec_id", "vec")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap),
-        eager=False,
+        .limit(train_cap)
     )
     # seeds: the KS lowest-vec_id sample vectors donate their j-th
     # slice to subspace j's codebook (the ivf seeding trick, per

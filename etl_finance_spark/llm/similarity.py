@@ -403,11 +403,17 @@ def ivf_centroids(vectors: DataFrame,
     # trains the model as a side effect — the first real action does.
     # The non-eager persists drain via lineage.release_cuts() after
     # the consuming query's action (lineage.py contract).
-    train = cut_lineage(
+    # managed_persist, NOT cut_lineage: the sample's lineage is shallow
+    # (scan + hash-order + limit) — truncation buys nothing, while the
+    # localCheckpoint planning round-trip costs ~1-2s of driver time
+    # per cold call (r06 perf finding). The persist alone gives the
+    # Lloyd passes their recompute-free reads; the MODEL cut below
+    # still truncates the deep k-means lineage consumers must not
+    # replay.
+    train = managed_persist(
         vectors.select("vec_id", "vec")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap),
-        eager=False,
+        .limit(train_cap)
     )
     seeds = (
         train.orderBy("vec_id").limit(N_CELLS)
