@@ -102,16 +102,23 @@ def read_batch_dirs(spark: SparkSession, out: str, schema) -> DataFrame:
     """Read back everything ``parquet_batch_sink(out)`` landed. An
     empty landing run (zero batches ever executed — the source had no
     files) returns an empty frame of the given schema instead of
-    failing PATH_NOT_FOUND on a directory no batch ever created."""
-    import os
+    failing PATH_NOT_FOUND on a directory no batch ever created.
 
-    dirs = (
-        sorted(e.path for e in os.scandir(out) if e.is_dir())
-        if os.path.isdir(out) else []
-    )
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
+    The listing happens ENGINE-side (a ``b*`` glob through Spark's
+    Hadoop-FS layer), never via driver-local os.listdir: the sink
+    writes through Spark, so ``out`` may be any filesystem Spark can
+    reach (s3://, hdfs://) where a driver-local probe would silently
+    see nothing and mistake present data for the empty-landing case.
+    Only the PATH_NOT_FOUND condition maps to the empty frame — any
+    other read failure propagates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(f"{out}/b*")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 # ---------------------------------------------------------------------------

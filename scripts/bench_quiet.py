@@ -60,6 +60,15 @@ def main() -> int:
     details: list[dict] = []
     for i in range(args.runs):
         detail, line = one_run(i)
+        # a run with a crashed query records dt=NaN and a LOWER total,
+        # so best-of-N would always keep the broken run — NaN runs are
+        # ineligible, not cheap (the CLAUDE.md no-NaN gate applies to
+        # the kept artifact, not just the average run)
+        nans = [q for q, t in detail["queries"].items() if t != t]
+        if nans:
+            raise RuntimeError(
+                f"run {i} has NaN timings (crashed queries): {nans}"
+            )
         details.append(detail)
         print(f"run {i}: total={detail['value']}s  {line}", file=sys.stderr)
 

@@ -73,14 +73,22 @@ def is_green(name: str, row: dict, specs: dict) -> bool:
     return bool(weak and row.get("rows_match"))
 
 
-def last_checked(files: list[str]) -> dict[str, int]:
-    """name -> most recent round with ANY driver row for it."""
-    out: dict[str, int] = {}
+def load_evidence(files: list[str]) -> tuple[dict[str, dict], dict[str, int]]:
+    """One pass over the correctness files: (name -> most recent row,
+    name -> most recent round with ANY driver row). A query's standing
+    is its MOST RECENT row across ALL rounds, not just the latest file:
+    a red that misses the very next window must stay red-tracked until
+    some later round actually re-checks it."""
+    latest_row: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for f in files:  # sorted ascending — later rounds override
         r = int(f.split("_r")[1].split(".")[0])
-        for n in json.load(open(f)):
-            out[n] = r
-    return out
+        with open(f) as fh:
+            rows = json.load(fh)
+        for n, row in rows.items():
+            latest_row[n] = row
+            last_round[n] = r
+    return latest_row, last_round
 
 
 def collection_guard(specs: dict, window: list[str],
@@ -130,23 +138,24 @@ def propose(specs: dict, latest_row: dict[str, dict],
 
 
 def main() -> int:
-    rechecks: list[str] = []
-    argv = sys.argv[1:]
-    if argv and argv[0] == "--recheck":
-        rechecks = [n for n in argv[1].split(",") if n]
-        argv = argv[2:]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--recheck", default="", metavar="a,b",
+                    help="comma-separated changed-file re-check names, "
+                         "pinned right after the flagship and any reds")
+    args = ap.parse_args()
+    rechecks = [n for n in args.recheck.split(",") if n]
     specs = registry.collect()
     files = sorted(glob.glob("CORRECTNESS_r*.json"))
     if not files:
         print("no CORRECTNESS_r*.json found", file=sys.stderr)
         return 1
-    # a query's standing is its MOST RECENT row across ALL rounds, not
-    # just the latest file: a red that misses the very next window must
-    # stay red-tracked until some later round actually re-checks it
-    latest_row: dict[str, dict] = {}
-    for f in files:
-        latest_row.update(json.load(open(f)))
-    last_round = last_checked(files)
+    latest_row, last_round = load_evidence(files)
+    unknown = [n for n in rechecks if n not in specs]
+    if unknown:
+        print(f"--recheck names not registered: {unknown}", file=sys.stderr)
+        return 2
     window = propose(specs, latest_row, last_round, rechecks)
     bad = collection_guard(specs, window)
     if bad:
@@ -159,9 +168,11 @@ def main() -> int:
     n_never = len([n for n in window if n not in last_round])
     oldest = min((last_round[n] for n in window if n in last_round),
                  default=None)
+    fill = f"staleness fill from r{oldest:02d}" if oldest is not None \
+        else "no staleness fill (no prior evidence in window)"
     print(f"# proposed window ({len(window)} names; {len(reds)} red "
           f"recheck, {len(rechecks)} changed-file, {n_never} "
-          f"never-checked, staleness fill from r{oldest:02d})")
+          f"never-checked, {fill})")
     print("_DRIVER_WINDOW = (")
     for n in window:
         print(f'    "{n}",')

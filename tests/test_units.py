@@ -527,16 +527,7 @@ def test_plan_window_red_detection_strictness():
     real red that must re-queue for a driver recheck. WEAK queries
     (oracle=None) are rows-only by policy (the driver marks them
     err='no_oracle') and must stay green on a successful run."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "plan_window",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "scripts", "plan_window.py"),
-    )
-    pw = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(pw)
+    pw = _load_plan_window()
 
     class _Spec:
         def __init__(self, oracle):
