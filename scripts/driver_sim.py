@@ -1,0 +1,57 @@
+"""Vanilla-session driver simulation — the t1 + t2 gate, one command.
+
+Mirrors what the round driver does: build a VANILLA SparkSession (none
+of our session.py configs — catches conf-dependence bugs like the
+nanos-parquet events table), run entry(), then every queries() entry
+against its oracle_sql() DuckDB twin at sf0.01 (WEAK queries get the
+rows-only count). Exit 0 only when t1 returns rows and no oracle
+comparison fails.
+
+    python scripts/driver_sim.py [sf_dir]      # default /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+    from etl_finance_spark.catalog import TABLES
+    from etl_finance_spark.testing import compare
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]").appName("driver-sim")
+        .config("spark.ui.showConsoleProgress", "false").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t1 = len(e.entry(spark).collect())
+    print(f"t1 rows: {t1}", flush=True)
+    q, o = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for n in sorted(o):
+        ok, detail = compare(q[n](spark, sf), con, o[n])
+        if not ok:
+            bad.append((n, detail))
+            print(f"FAIL {n}: {detail}", flush=True)
+    for n in sorted(set(q) - set(o)):
+        q[n](spark, sf).count()  # WEAK: rows-only
+    print("FAILURES:", bad or "none")
+    return 1 if (bad or t1 <= 0) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
