@@ -50,6 +50,30 @@ def one_run(idx: int) -> tuple[dict, str]:
         return json.load(f), line
 
 
+def select_best(details: list[dict]) -> dict:
+    """Apply the pinned rule: keep the lowest-total run, with the
+    selection recorded in a ``protocol`` block. A run with a crashed
+    query records dt=NaN and a LOWER total, so best-of-N would always
+    keep the broken run — NaN runs are ineligible, not cheap (the
+    CLAUDE.md no-NaN gate applies to the kept artifact, not just the
+    average run)."""
+    for i, detail in enumerate(details):
+        nans = [q for q, t in detail["queries"].items() if t != t]
+        if nans:
+            raise RuntimeError(
+                f"run {i} has NaN timings (crashed queries): {nans}"
+            )
+    totals = [d["value"] for d in details]
+    kept = min(range(len(totals)), key=totals.__getitem__)
+    out = dict(details[kept])
+    out["protocol"] = {
+        "rule": "best-of-N total (lowest; host noise only adds time)",
+        "runs": totals,
+        "kept_run": kept,
+    }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -60,26 +84,9 @@ def main() -> int:
     details: list[dict] = []
     for i in range(args.runs):
         detail, line = one_run(i)
-        # a run with a crashed query records dt=NaN and a LOWER total,
-        # so best-of-N would always keep the broken run — NaN runs are
-        # ineligible, not cheap (the CLAUDE.md no-NaN gate applies to
-        # the kept artifact, not just the average run)
-        nans = [q for q, t in detail["queries"].items() if t != t]
-        if nans:
-            raise RuntimeError(
-                f"run {i} has NaN timings (crashed queries): {nans}"
-            )
         details.append(detail)
         print(f"run {i}: total={detail['value']}s  {line}", file=sys.stderr)
-
-    totals = [d["value"] for d in details]
-    kept = min(range(len(totals)), key=totals.__getitem__)
-    out = dict(details[kept])
-    out["protocol"] = {
-        "rule": "best-of-N total (lowest; host noise only adds time)",
-        "runs": totals,
-        "kept_run": kept,
-    }
+    out = select_best(details)
     with open(DETAIL, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     if args.freeze:
@@ -87,8 +94,9 @@ def main() -> int:
         with open(frozen, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(f"froze {frozen}", file=sys.stderr)
-    print(json.dumps({"kept_total": totals[kept], "runs": totals,
-                      "kept_run": kept}))
+    print(json.dumps({"kept_total": out["value"],
+                      "runs": out["protocol"]["runs"],
+                      "kept_run": out["protocol"]["kept_run"]}))
     return 0
 
 

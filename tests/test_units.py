@@ -617,3 +617,46 @@ def test_plan_window_collection_guard_refuses_list_oracles():
     assert pw.collection_guard(specs, ["q_scalar", "q_weak"]) == []
     assert pw.collection_guard(
         specs, ["q_scalar", "q_listy", "q_weak"]) == ["q_listy"]
+
+
+def _load_bench_quiet():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_quiet",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "bench_quiet.py"),
+    )
+    bq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bq)
+    return bq
+
+
+def test_bench_quiet_selection_rule():
+    """The pinned quiet-host rule: keep the lowest-total run and record
+    the selection; a run containing a NaN timing (a crashed query,
+    which LOWERS the total) is ineligible and fails the whole protocol
+    loudly rather than being silently kept as 'fastest'."""
+    import pytest
+
+    bq = _load_bench_quiet()
+    runs = [
+        {"value": 160.0, "queries": {"a": 100.0, "b": 60.0}, "sf": 0.1},
+        {"value": 150.0, "queries": {"a": 95.0, "b": 55.0}, "sf": 0.1},
+        {"value": 170.0, "queries": {"a": 105.0, "b": 65.0}, "sf": 0.1},
+    ]
+    out = bq.select_best(runs)
+    assert out["value"] == 150.0
+    assert out["protocol"]["kept_run"] == 1
+    assert out["protocol"]["runs"] == [160.0, 150.0, 170.0]
+    # inputs are not mutated (the kept dict is a copy)
+    assert "protocol" not in runs[1]
+
+    crashed = [
+        runs[0],
+        {"value": 60.0, "queries": {"a": 60.0, "b": float("nan")},
+         "sf": 0.1},
+    ]
+    with pytest.raises(RuntimeError, match="NaN"):
+        bq.select_best(crashed)
