@@ -137,3 +137,25 @@ def test_read_batch_dirs_empty_source_returns_empty_frame(spark, tmp_path):
     empty.mkdir()
     df = read_batch_dirs(spark, str(empty), SCHEMA)
     assert df.count() == 0 and df.schema == SCHEMA
+
+
+def test_ingest_schema_stays_raw_read_safe():
+    """q_incremental_ingest streams the events fixture RAW (a landing
+    zone has no normalization layer in front of it — the CLAUDE.md
+    sanctioned exception). That is safe ONLY while _INGEST_SCHEMA
+    selects ts-free, layout-stable columns: the events.ts column is
+    physically TIMESTAMP(NANOS) parquet, which a vanilla driver session
+    cannot read without catalog.table's conf. Pin the property so a
+    future schema edit re-derives the safety argument instead of
+    silently inheriting it."""
+    from pyspark.sql.types import LongType, StringType
+
+    from etl_finance_spark.streaming.ingest import _INGEST_SCHEMA
+
+    for f in _INGEST_SCHEMA.fields:
+        assert isinstance(f.dataType, (LongType, StringType)), (
+            f"{f.name}: raw-read schema must stay scalar long/string"
+        )
+        assert "ts" != f.name and not f.name.endswith("_ts"), (
+            f"{f.name}: no timestamp columns in the raw landing read"
+        )
