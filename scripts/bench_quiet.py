@@ -50,19 +50,26 @@ def one_run(idx: int) -> tuple[dict, str]:
         return json.load(f), line
 
 
+def check_run(detail: dict, idx: int) -> None:
+    """A run with a crashed query records dt=NaN and a LOWER total, so
+    best-of-N would always keep the broken run — NaN runs fail the
+    whole protocol loudly (the CLAUDE.md no-NaN gate applies to the
+    kept artifact, not just the average run)."""
+    nans = [q for q, t in detail["queries"].items() if t != t]
+    if nans:
+        raise RuntimeError(
+            f"run {idx} has NaN timings (crashed queries): {nans}"
+        )
+
+
 def select_best(details: list[dict]) -> dict:
     """Apply the pinned rule: keep the lowest-total run, with the
-    selection recorded in a ``protocol`` block. A run with a crashed
-    query records dt=NaN and a LOWER total, so best-of-N would always
-    keep the broken run — NaN runs are ineligible, not cheap (the
-    CLAUDE.md no-NaN gate applies to the kept artifact, not just the
-    average run)."""
+    selection recorded in a ``protocol`` block; NaN runs are
+    ineligible (check_run)."""
+    if not details:
+        raise ValueError("select_best needs at least one bench run")
     for i, detail in enumerate(details):
-        nans = [q for q, t in detail["queries"].items() if t != t]
-        if nans:
-            raise RuntimeError(
-                f"run {i} has NaN timings (crashed queries): {nans}"
-            )
+        check_run(detail, i)
     totals = [d["value"] for d in details]
     kept = min(range(len(totals)), key=totals.__getitem__)
     out = dict(details[kept])
@@ -80,10 +87,13 @@ def main() -> int:
     ap.add_argument("--freeze", default=None, metavar="rNN",
                     help="also write BENCH_DETAIL_<rNN>.json")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     details: list[dict] = []
     for i in range(args.runs):
         detail, line = one_run(i)
+        check_run(detail, i)  # fail-fast: don't pay the remaining runs
         details.append(detail)
         print(f"run {i}: total={detail['value']}s  {line}", file=sys.stderr)
     out = select_best(details)

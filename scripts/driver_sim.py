@@ -34,6 +34,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t1 = len(e.entry(spark).collect())
     print(f"t1 rows: {t1}", flush=True)
+    if t1 <= 0:
+        # fail-fast: the t1 gate is already lost — don't pay the
+        # 15-20 min query sweep to report a verdict known at minute 0
+        print("FAILURES: t1 gate (entry() returned no rows)")
+        return 1
     q, o = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
@@ -50,7 +55,7 @@ def main() -> int:
     for n in sorted(set(q) - set(o)):
         q[n](spark, sf).count()  # WEAK: rows-only
     print("FAILURES:", bad or "none")
-    return 1 if (bad or t1 <= 0) else 0
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

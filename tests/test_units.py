@@ -555,18 +555,23 @@ def test_plan_window_red_detection_strictness():
     assert pw.is_green("q_gone", weak_row, specs)
 
 
-def _load_plan_window():
+def _load_script(name):
+    """Import a scripts/*.py module by file path (they are not a package)."""
     import importlib.util
     import os
 
     spec = importlib.util.spec_from_file_location(
-        "plan_window",
+        name,
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "scripts", "plan_window.py"),
+            os.path.abspath(__file__))), "scripts", f"{name}.py"),
     )
-    pw = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(pw)
-    return pw
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_plan_window():
+    return _load_script("plan_window")
 
 
 class _OracleSpec:
@@ -620,17 +625,7 @@ def test_plan_window_collection_guard_refuses_list_oracles():
 
 
 def _load_bench_quiet():
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_quiet",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "scripts", "bench_quiet.py"),
-    )
-    bq = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bq)
-    return bq
+    return _load_script("bench_quiet")
 
 
 def test_bench_quiet_selection_rule():
@@ -660,3 +655,17 @@ def test_bench_quiet_selection_rule():
     ]
     with pytest.raises(RuntimeError, match="NaN"):
         bq.select_best(crashed)
+
+
+def test_bench_quiet_rejects_empty_and_checks_per_run():
+    """select_best on zero runs is a protocol error, not an opaque
+    min() crash; check_run is the per-run fail-fast main() applies so
+    a crashed run 0 aborts before paying the remaining bench runs."""
+    import pytest
+
+    bq = _load_bench_quiet()
+    with pytest.raises(ValueError, match="at least one"):
+        bq.select_best([])
+    with pytest.raises(RuntimeError, match="NaN"):
+        bq.check_run({"value": 1.0, "queries": {"a": float("nan")}}, 0)
+    bq.check_run({"value": 1.0, "queries": {"a": 1.0}}, 0)  # clean: no raise
