@@ -47,6 +47,12 @@ def main() -> int:
             f"read_parquet('{sf}/{t}.parquet')"
         )
     bad = []
+    # Deliberately NO lineage.release_cuts() between queries: the real
+    # round driver knows nothing about our lineage registry and runs the
+    # full sweep with persists accumulating — this sim reproduces that
+    # storage profile on purpose (the accumulation IS part of what the
+    # gate validates: the sweep must fit executor storage without the
+    # drain bench.py/diffcheck.py perform). See lineage.py's contract.
     for n in sorted(o):
         ok, detail = compare(q[n](spark, sf), con, o[n])
         if not ok:

@@ -1,0 +1,67 @@
+"""Round-evidence tripwires — the freeze protocol enforced by CI, not
+convention (VERDICT r07 item 4).
+
+Round 6 ended without a frozen `BENCH_DETAIL_r06.json` and nobody
+noticed until the r07 judge compared non-matched snapshots. The fix is
+structural: every COMPLETED round from r07 onward must have left an
+immutable `BENCH_DETAIL_rNN.json` produced by the pinned quiet-host
+protocol (`scripts/bench_quiet.py --runs 3 --freeze rNN`, best-of-N
+with the selection recorded). This test derives "completed rounds"
+from PROGRESS.jsonl (the driver appends one line per round start, so
+every round strictly below the maximum has ended) and fails the NEXT
+session's very first pytest gate if the previous session skipped its
+freeze — the slip can no longer recur silently.
+
+The current (in-flight) round is deliberately exempt: its freeze
+happens at session end, after this gate necessarily already ran.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Rounds before the quiet-host protocol existed: r03-r05 are bare
+# single-run snapshots, r06 carries a backfilled single-run marker
+# (ADVICE r07) — all grandfathered for the >=3-runs rule but r06+ must
+# at least carry an auditable protocol block.
+PROTOCOL_SINCE = 6   # 'protocol' block required from this round on
+BEST_OF_N_SINCE = 7  # >=3 recorded runs required from this round on
+
+
+def _completed_rounds() -> list[int]:
+    rounds = set()
+    with open(os.path.join(REPO, "PROGRESS.jsonl")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rounds.add(int(json.loads(line)["round"]))
+    current = max(rounds)
+    return sorted(r for r in rounds if r < current)
+
+
+def test_every_completed_round_froze_its_bench_detail():
+    missing, malformed = [], []
+    for r in _completed_rounds():
+        if r < PROTOCOL_SINCE:
+            continue
+        path = os.path.join(REPO, f"BENCH_DETAIL_r{r:02d}.json")
+        if not os.path.exists(path):
+            missing.append(r)
+            continue
+        with open(path) as f:
+            detail = json.load(f)
+        proto = detail.get("protocol")
+        if not isinstance(proto, dict) or "runs" not in proto:
+            malformed.append((r, "no protocol block"))
+        elif r >= BEST_OF_N_SINCE and len(proto["runs"]) < 3:
+            malformed.append(
+                (r, f"only {len(proto['runs'])} recorded runs (<3)")
+            )
+    assert not missing and not malformed, (
+        f"bench freeze protocol violated — missing rounds: {missing}, "
+        f"malformed: {malformed}. Run `python scripts/bench_quiet.py "
+        f"--runs 3 --freeze rNN` at session end (CLAUDE.md gates)."
+    )
