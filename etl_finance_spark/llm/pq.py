@@ -220,10 +220,18 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
         books = _pack_books(flat_means)
         it += 1
         if it == PQ_LLOYD:
-            # one cut for the final model only: PQ_LLOYD=2 keeps the
-            # unchecked plan shallow, and consumers must never replay
-            # k-means lineage (same cadence rationale as ivf_centroids)
-            books = cut_lineage(books, eager=False)
+            # one cut for the final model only, EAGER (r08): a lazy cut
+            # truncates the plan only after first materialization, so
+            # inside a single-action query every model consumer (encode,
+            # LUT, index) is ANALYZED with the full k-means lineage
+            # embedded — N copies of a ~2s Catalyst constant (measured:
+            # q_ivfpq_topk 10.97s lazy vs 6.77s eager at sf0.1, fresh
+            # session). Materializing the 1-row model here is one tiny
+            # job; consumers then analyze against a leaf. The build-time
+            # side effect (constructing the query trains the model) is
+            # the accepted trade — same precedent as q_recursive_bfs's
+            # eager cut (tests/test_plan_sweep.py inventory note).
+            books = cut_lineage(books, eager=True)
     return books
 
 

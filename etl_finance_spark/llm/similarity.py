@@ -396,13 +396,19 @@ def ivf_centroids(vectors: DataFrame,
     at any corpus size. When the corpus fits under the cap — every test
     fixture does — the sample IS the corpus, so the model is bit-for-bit
     the round-3 model and the measured recall constants are unchanged."""
-    # eager=False everywhere in this builder: the checkpoints still
-    # truncate lineage and cache their blocks on first materialization,
-    # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
-    # driver pass that builds all queries before running any) no longer
-    # trains the model as a side effect — the first real action does.
-    # The non-eager persists drain via lineage.release_cuts() after
-    # the consuming query's action (lineage.py contract).
+    # Cut cadence (r08): mid-loop cuts stay eager=False (a job barrier
+    # per pass costs more than it saves at LLOYD_ITERS=2 — the round-3
+    # A/B), but the FINAL model cut is EAGER: a lazy cut truncates the
+    # plan only after first materialization, so inside a single-action
+    # query every model consumer (corpus assign, query assign) is
+    # ANALYZED with the full k-means lineage embedded — multiple copies
+    # of a ~1-2s Catalyst constant (the r08 ivfpq finding, measured
+    # 10.97s→6.77s on the PQ twin). The price is a build-time side
+    # effect: constructing a consumer DataFrame trains the model (one
+    # small job). That trade is accepted repo-wide now — same precedent
+    # as q_recursive_bfs's eager cut (tests/test_plan_sweep.py
+    # inventory note); the non-eager mid-loop persists still drain via
+    # lineage.release_cuts() after the consuming query's action.
     # managed_persist, NOT cut_lineage: the sample's lineage is shallow
     # (scan + hash-order + limit) — truncation buys nothing, while the
     # localCheckpoint planning round-trip costs ~1-2s of driver time
@@ -486,7 +492,7 @@ def ivf_centroids(vectors: DataFrame,
         # model, so they never replay k-means lineage.
         it += 1
         if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
-            cent = cut_lineage(cent, eager=False)
+            cent = cut_lineage(cent, eager=(it == LLOYD_ITERS))
     return cent
 
 

@@ -20,9 +20,12 @@ eviction scan against an insert ("dict changed size during
 iteration") or double-delete a stale key. The lock covers the build
 too — two threads missing the same key must not both run the
 expensive build and double-persist; the loser would leak its cached
-frame. Build latency under the lock is construction-only (builds
-return lazy/non-eager frames; materialization happens outside, at
-first action). It is an RLock because builds NEST: the IVF model
+frame. Build latency under the lock is usually construction-only, but
+the ANN model builders run their small training job eagerly since r08
+(the eager final lineage cut that truncates consumer analysis) — a
+concurrent thread then blocks until the one shared model exists, which
+is exactly the semantics a shared index wants. It is an RLock because
+builds NEST: the IVF model
 build calls back into the corpus memo (llm/similarity.py), and a
 plain Lock would self-deadlock the single calling thread there."""
 

@@ -76,73 +76,72 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-7 composition (exactly 50, derived by `python
-# scripts/plan_window.py --recheck q_incremental_ingest` from
-# CORRECTNESS_r01-r06): 1 flagship; 0 reds (the cumulative ledger is
-# zero-red since r06); 1 changed-file re-check (q_incremental_ingest's
-# sink became batch_id-keyed overwrite this round); 0 never-checked
-# (the surface closed at 220 in r06); then the STALENESS FILL — all
-# 35 queries whose last driver evidence was r01 plus the 13 oldest
-# r02 queries, oldest evidence first. Staleness fill replaced the
-# one-per-family sentinel rotation in r07: evidence ages as
-# PySpark/DuckDB configs drift, so free slots always go to the
-# longest-unchecked greens (families re-cover naturally because their
-# members age together).
+# Round-8 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_incremental_ingest,q_cosine_topk,
+# q_ann_lsh_topk,q_ann_ivf_topk,q_embed_neardup,q_embed_join,
+# q_semantic_dedup,q_ivfpq_topk` from CORRECTNESS_r01-r07): 1 flagship;
+# 0 reds (the cumulative ledger is zero-red since r06); 8 changed-file
+# re-checks (llm/similarity.py + llm/pq.py — the eager final model
+# cut — and streaming/ingest.py's structured-error fallback, so every
+# query those modules register re-earns evidence this round); 0
+# never-checked; then the STALENESS FILL — the remaining 23
+# r02-evidence queries plus the oldest r03s, oldest evidence first.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-check: ingest sink now batch_id-scoped overwrite
+    # changed-file re-checks: ingest's structured-error fallback and
+    # the two ANN-model modules touched by the eager-cut perf change
     "q_incremental_ingest",
-    # staleness fill: every r01-evidence query (oldest first) ...
-    "q_win_rank",
-    "q_win_running_sum",
-    "q_win_moving_avg",
-    "q_win_ntile",
-    "q_union_all",
-    "q_add_literal",
-    "q_project_drop",
-    "q_project_rename",
-    "q_filter_isin",
-    "q_filter_nonempty",
-    "q_coalesce",
-    "q_cast",
-    "q_date_format",
-    "q_unix_ts",
-    "q_multi_format_ts",
-    "q_month_seq",
-    "q_lower",
-    "q_array_transform",
-    "q_array_field",
-    "q_to_json",
-    "q_json_get",
-    "q_from_json",
-    "q_stats_agg",
-    "q_dedup_keys",
-    "q_join_anti",
-    "q_filter_range",
-    "q_case_when",
-    "q_fillna_mean",
-    "q_pct_change_lag",
-    "q_join_outer",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_cross",
-    "q_join_asof",
-    # ... then the 13 oldest r02-evidence queries
-    "q_jaccard_pairs",
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_jaccard_prefix",
-    "q_docs_by_lang",
-    "q_term_freq",
-    "q_lang_id",
-    "q_text_quality",
-    "q_token_count",
-    "q_edit_distance",
-    "q_tfidf",
-    "q_fingerprint",
+    "q_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embed_neardup",
+    "q_embed_join",
+    "q_semantic_dedup",
+    "q_ivfpq_topk",
+    # staleness fill: the 23 remaining r02-evidence queries ...
+    "q_split_deterministic",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_gap_fill",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_posexplode",
+    "q_regexp_replace",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_exists_subquery",
+    "q_correlated_scalar",
+    "q_udf_pandas",
+    "q_udaf_weighted_avg",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_approx_distinct",
+    # ... then the oldest r03-evidence queries
+    "q_agg_groupby",
+    "q_histogram",
+    "q_latest_per_key",
+    "q_skew_distinct",
+    "q_agg_grouping_id",
+    "q_median_by_group",
+    "q_corr_covar",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_corpus_prep",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_lexical_diversity",
+    "q_stream_pair_join",
+    "q_funnel",
+    "q_string_agg",
+    "q_rolling_active_users",
+    "q_snapshot_diff",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query
