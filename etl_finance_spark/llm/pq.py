@@ -220,17 +220,21 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
         books = _pack_books(flat_means)
         it += 1
         if it == PQ_LLOYD:
-            # one cut for the final model only, EAGER (r08): a lazy cut
-            # truncates the plan only after first materialization, so
-            # inside a single-action query every model consumer (encode,
-            # LUT, index) is ANALYZED with the full k-means lineage
-            # embedded — N copies of a ~2s Catalyst constant (measured:
-            # q_ivfpq_topk 10.97s lazy vs 6.77s eager at sf0.1, fresh
-            # session). Materializing the 1-row model here is one tiny
-            # job; consumers then analyze against a leaf. The build-time
-            # side effect (constructing the query trains the model) is
-            # the accepted trade — same precedent as q_recursive_bfs's
-            # eager cut (tests/test_plan_sweep.py inventory note).
+            # one cut for the final model only, EAGER (r08). Both cut
+            # modes truncate the consumers' analyzed plans at
+            # construction (localCheckpoint compiles the upstream plan
+            # and hands downstream a leaf either way); what eagerness
+            # moves is WHEN the training executes. Lazy, it runs inside
+            # the consuming query's own action, interleaved with the
+            # query's broadcast builds and AQE stages; eager, it runs
+            # as one isolated job at build time and every consumer
+            # (encode, LUT, index) reads cached blocks. Measured on the
+            # full query, paired runs: q_ivfpq_topk 10.97s lazy vs
+            # 6.77s eager at sf0.1 fresh-session; protocol-matched
+            # bench 5.89 -> 4.72s. The build-time side effect
+            # (constructing the query trains the model) is the accepted
+            # trade — same precedent as q_recursive_bfs's eager cut
+            # (tests/test_plan_sweep.py inventory note).
             books = cut_lineage(books, eager=True)
     return books
 

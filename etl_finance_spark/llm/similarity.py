@@ -398,17 +398,20 @@ def ivf_centroids(vectors: DataFrame,
     the round-3 model and the measured recall constants are unchanged."""
     # Cut cadence (r08): mid-loop cuts stay eager=False (a job barrier
     # per pass costs more than it saves at LLOYD_ITERS=2 — the round-3
-    # A/B), but the FINAL model cut is EAGER: a lazy cut truncates the
-    # plan only after first materialization, so inside a single-action
-    # query every model consumer (corpus assign, query assign) is
-    # ANALYZED with the full k-means lineage embedded — multiple copies
-    # of a ~1-2s Catalyst constant (the r08 ivfpq finding, measured
-    # 10.97s→6.77s on the PQ twin). The price is a build-time side
-    # effect: constructing a consumer DataFrame trains the model (one
-    # small job). That trade is accepted repo-wide now — same precedent
-    # as q_recursive_bfs's eager cut (tests/test_plan_sweep.py
-    # inventory note); the non-eager mid-loop persists still drain via
-    # lineage.release_cuts() after the consuming query's action.
+    # A/B), but the FINAL model cut is EAGER. Both modes hand the
+    # consumers a truncated leaf at construction; eagerness moves WHEN
+    # training executes — lazy, inside the consuming query's action
+    # (interleaved with its broadcast builds and AQE stages); eager,
+    # as one isolated build-time job whose cached blocks every
+    # consumer (corpus assign, query assign) then reads. Measured on
+    # the PQ twin, paired runs: 10.97s lazy vs 6.77s eager at sf0.1;
+    # protocol-matched bench q_ann_ivf_topk 4.67 -> 3.87s. The price
+    # is a build-time side effect: constructing a consumer DataFrame
+    # trains the model (one small job). That trade is accepted
+    # repo-wide now — same precedent as q_recursive_bfs's eager cut
+    # (tests/test_plan_sweep.py inventory note); the non-eager
+    # mid-loop persists still drain via lineage.release_cuts() after
+    # the consuming query's action.
     # managed_persist, NOT cut_lineage: the sample's lineage is shallow
     # (scan + hash-order + limit) — truncation buys nothing, while the
     # localCheckpoint planning round-trip costs ~1-2s of driver time
