@@ -14,20 +14,20 @@ life of the process). Values are persist()-ed or localCheckpoint-ed
 frames, so the storage held is evictable/spillable cache, never pinned
 heap.
 
-Access is serialized by one module lock: concurrent queries on a
-shared session (the witnessed warehouse mode) otherwise race the
-eviction scan against an insert ("dict changed size during
-iteration") or double-delete a stale key. The lock covers the build
-too — two threads missing the same key must not both run the
-expensive build and double-persist; the loser would leak its cached
-frame. Build latency under the lock is usually construction-only, but
-the ANN model builders run their small training job eagerly since r08
-(the eager final lineage cut that truncates consumer analysis) — a
-concurrent thread then blocks until the one shared model exists, which
-is exactly the semantics a shared index wants. It is an RLock because
-builds NEST: the IVF model
-build calls back into the corpus memo (llm/similarity.py), and a
-plain Lock would self-deadlock the single calling thread there."""
+Concurrency (rewritten r08): the module lock guards only the DICT
+(eviction scan vs insert races, double-delete of a stale key); builds
+run OUTSIDE it, serialized per key by an in-flight event. Two threads
+missing the SAME key still produce exactly one build — the loser
+blocks on the winner's event and returns the winner's frame, which is
+exactly the semantics a shared index wants. But since the ANN model
+builders run their small training job eagerly (the r08 eager final
+lineage cut), a build can take seconds — and under the old
+build-under-lock design that stalled every UNRELATED memo family
+(co-purchase edges vs IVF models) behind one training job. Build
+failures release the in-flight slot, so a waiter retries as the new
+builder rather than caching a broken entry. Builds may still NEST
+(the IVF model build calls back into the corpus memo): no lock is
+held during a build, so the nested call just takes its own turn."""
 
 from __future__ import annotations
 
@@ -37,6 +37,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.RLock()
+# (id(memo), appId, sf_dir) -> Event set when that build finishes
+# (successfully or not); id(memo) scopes keys to their family dict.
+_INFLIGHT: dict[tuple[int, str, str], threading.Event] = {}
 
 
 def session_memo(memo: dict[tuple[str, str], DataFrame],
@@ -45,12 +48,34 @@ def session_memo(memo: dict[tuple[str, str], DataFrame],
     """Return memo[(appId, sf_dir)], building (and caching) on miss;
     drops entries belonging to other (dead) applications first."""
     app_id = spark.sparkContext.applicationId
-    with _LOCK:
-        for k in [k for k in list(memo) if k[0] != app_id]:
-            memo.pop(k, None)
-        key = (app_id, sf_dir)
-        df = memo.get(key)
-        if df is None:
-            df = build()
-            memo[key] = df
-        return df
+    key = (app_id, sf_dir)
+    flight_key = (id(memo), app_id, sf_dir)
+    while True:
+        with _LOCK:
+            for k in [k for k in list(memo) if k[0] != app_id]:
+                memo.pop(k, None)
+            df = memo.get(key)
+            if df is not None:
+                return df
+            done = _INFLIGHT.get(flight_key)
+            if done is None:
+                done = threading.Event()
+                _INFLIGHT[flight_key] = done
+                building = True
+            else:
+                building = False
+        if building:
+            try:
+                df = build()
+                with _LOCK:
+                    memo[key] = df
+                return df
+            finally:
+                # success or failure, release the slot and wake
+                # waiters; on failure they re-enter the loop and the
+                # first one becomes the new builder
+                with _LOCK:
+                    _INFLIGHT.pop(flight_key, None)
+                done.set()
+        else:
+            done.wait()

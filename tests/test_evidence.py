@@ -36,8 +36,16 @@ def _completed_rounds() -> list[int]:
     with open(os.path.join(REPO, "PROGRESS.jsonl")) as f:
         for line in f:
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            # the telemetry driver appends to this file every few
+            # minutes while the gate runs — tolerate a torn/partial
+            # last line (or a historical line without "round") instead
+            # of crashing the tripwire with a parse error
+            try:
                 rounds.add(int(json.loads(line)["round"]))
+            except (ValueError, KeyError, TypeError):
+                continue
     current = max(rounds)
     return sorted(r for r in rounds if r < current)
 

@@ -21,7 +21,9 @@ The replicas are written through Spark (same parquet physical types as
 a Spark re-write of the fixture); none of the three tables needs the
 events nanos-timestamp special case, which is why events is NOT in the
 probe dir — a heavy query that starts reading events must extend the
-generator first (the KeyError from catalog.table is the reminder).
+generator first (the reminder fires as the parquet scan's
+AnalysisException PATH_NOT_FOUND on the missing probe-dir file;
+'events' is in catalog.TABLES, so catalog.table itself raises nothing).
 
 Envelope: t(probe) <= SLACK * 3 * max(t(sf0.1), FLOOR) — same SLACK
 rationale as test_scale_probe.py (honest linear scaling passes on a
@@ -31,7 +33,6 @@ rationale as test_scale_probe.py (honest linear scaling passes on a
 from __future__ import annotations
 
 import os
-import time
 
 import pytest
 
@@ -39,11 +40,13 @@ from pyspark.sql import functions as F
 
 from etl_finance_spark import registry
 
+# shared with the two-point probe so the query set and envelope
+# constants cannot drift apart between the scale points
+from test_scale_probe import FLOOR, HEAVY, SLACK, _timed_run
+
 SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
-SLACK = 4.0      # host noise envelope, matching test_scale_probe.py
-FLOOR = 1.0      # sec; fixed-overhead floor for tiny denominators
 
 # key column to offset per replicated table; the offset stride is far
 # beyond any fixture id so replicas never collide or merge baskets
@@ -53,20 +56,36 @@ TABLES = {
     "lineitem": ("l_orderkey", 100_000_000),
 }
 
-HEAVY = (
-    "q_ivfpq_topk",
-    "q_ann_ivf_topk",
-    "q_dedup_clusters",
-    "q_copurchase_pairs",
-    "q_percentiles",
-)
+
+def _base_fingerprint(name: str) -> str:
+    """Cheap identity of the base fixture table: total bytes + newest
+    mtime of its parquet files. The /tmp replicas outlive fixture
+    regenerations (the layout has changed once already: events
+    ns -> us), and _SUCCESS alone would silently pin a replica of the
+    OLD fixture — the envelope would then compare mismatched
+    datasets."""
+    root = f"{SF_BASE}/{name}.parquet"
+    size, mtime = 0, 0
+    for d, _, files in os.walk(root):
+        for f in files:
+            st = os.stat(os.path.join(d, f))
+            size += st.st_size
+            mtime = max(mtime, st.st_mtime_ns)
+    return f"{size}:{mtime}"
 
 
 def _generate(spark) -> None:
     for name, (key, stride) in TABLES.items():
         out = f"{PROBE_DIR}/{name}.parquet"
+        fp_file = f"{PROBE_DIR}/{name}.fingerprint"
+        fp = _base_fingerprint(name)
         if os.path.exists(f"{out}/_SUCCESS"):
-            continue
+            try:
+                with open(fp_file) as fh:
+                    if fh.read() == fp:
+                        continue  # replica matches the current fixture
+            except OSError:
+                pass  # no/unreadable fingerprint -> regenerate
         base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
         parts = [
             base.withColumn(key, F.col(key) + F.lit(i * stride))
@@ -76,16 +95,9 @@ def _generate(spark) -> None:
         for p in parts[1:]:
             rep = rep.unionAll(p)
         rep.write.mode("overwrite").parquet(out)
-
-
-def _timed_run(spark, fn, sf_dir: str) -> float:
-    from etl_finance_spark.lineage import release_cuts
-
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    release_cuts()  # drain outside the timer, like bench.py
-    return dt
+        os.makedirs(PROBE_DIR, exist_ok=True)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
 
 
 @pytest.fixture(scope="module")

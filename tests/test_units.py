@@ -429,13 +429,61 @@ def test_session_memo_cold_start_race_builds_once(spark):
     assert all(r is results[0] for r in results)
 
 
+def test_session_memo_slow_build_does_not_stall_other_keys(spark):
+    """Since the r08 eager model cuts, a memo build can run a
+    multi-second Spark job. Builds therefore execute OUTSIDE the
+    module lock, serialized per key by an in-flight event: a slow
+    build of one family's key must not block an unrelated family's
+    build (the old build-under-lock design stalled the co-purchase
+    edge memo behind an ANN training job). A failed build must
+    release its slot so a waiter retries as the new builder instead
+    of caching nothing forever."""
+    import threading
+    import time
+
+    from etl_finance_spark.memo import session_memo
+
+    slow_memo: dict = {}
+    fast_memo: dict = {}
+    slow_started = threading.Event()
+    release_slow = threading.Event()
+
+    def build_slow():
+        slow_started.set()
+        assert release_slow.wait(timeout=30)
+        return spark.range(1)
+
+    t = threading.Thread(
+        target=lambda: session_memo(slow_memo, spark, "/sf", build_slow))
+    t.start()
+    assert slow_started.wait(timeout=30)
+    # the slow build is in flight; an unrelated memo must complete now
+    t0 = time.time()
+    got = session_memo(fast_memo, spark, "/sf", lambda: spark.range(3))
+    assert got.count() == 3
+    assert time.time() - t0 < 5, "unrelated memo stalled behind a build"
+    release_slow.set()
+    t.join(30)
+    assert not t.is_alive()
+
+    # failure path: the first build raises; the next caller rebuilds
+    flaky_memo: dict = {}
+    with pytest.raises(RuntimeError, match="boom"):
+        session_memo(flaky_memo, spark, "/sf",
+                     lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    ok = session_memo(flaky_memo, spark, "/sf", lambda: spark.range(2))
+    assert ok.count() == 2
+
+
 def test_session_memo_builds_may_nest(spark):
     """Memoized builds NEST in production — the IVF model memo's build
-    calls back into the corpus memo (llm/similarity.py) — so the memo
-    lock must be reentrant. With a plain Lock this deadlocks the
-    single calling thread forever (it hung the driver simulation
-    mid-t2); the test would time out rather than fail, so keep it
-    fast and first-line."""
+    calls back into the corpus memo (llm/similarity.py) — so a nested
+    session_memo call from inside a build must complete, not
+    self-deadlock. (Historically this required the module lock to be
+    reentrant — a plain Lock hung the driver simulation mid-t2; since
+    the r08 rewrite no lock is held during builds at all, but the
+    property stays pinned because a regression would time out rather
+    than fail loudly.)"""
     from etl_finance_spark.memo import session_memo
 
     inner: dict = {}
