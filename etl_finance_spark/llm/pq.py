@@ -220,22 +220,21 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
         books = _pack_books(flat_means)
         it += 1
         if it == PQ_LLOYD:
-            # one cut for the final model only, EAGER (r08). Both cut
-            # modes truncate the consumers' analyzed plans at
-            # construction (localCheckpoint compiles the upstream plan
-            # and hands downstream a leaf either way); what eagerness
-            # moves is WHEN the training executes. Lazy, it runs inside
-            # the consuming query's own action, interleaved with the
-            # query's broadcast builds and AQE stages; eager, it runs
-            # as one isolated job at build time and every consumer
-            # (encode, LUT, index) reads cached blocks. Measured on the
-            # full query, paired runs: q_ivfpq_topk 10.97s lazy vs
-            # 6.77s eager at sf0.1 fresh-session; protocol-matched
-            # bench 5.89 -> 4.72s. The build-time side effect
-            # (constructing the query trains the model) is the accepted
-            # trade — same precedent as q_recursive_bfs's eager cut
-            # (tests/test_plan_sweep.py inventory note).
-            books = cut_lineage(books, eager=True)
+            # one cut for the final model only: PQ_LLOYD=2 keeps the
+            # unchecked plan shallow, and consumers must never replay
+            # k-means lineage (same cadence rationale as ivf_centroids).
+            # eager=True was A/B'd in r08 and is a WASH — don't re-try:
+            # both modes hand consumers a truncated leaf at
+            # construction (lazy localCheckpoint compiles the plan
+            # immediately, only the job defers), so eagerness moves
+            # execution timing only. Six bench-faithful paired sessions
+            # (get_spark config, warmups, noop sink, bench query order)
+            # put the medians at 6.24s eager vs 6.25s lazy for this
+            # query; early fresh-session protos that suggested a 4s
+            # eager win were host-noise artifacts (this VM swings 2x).
+            # Lazy keeps construction side-effect-free (building a
+            # consumer DataFrame must not run a training job).
+            books = cut_lineage(books, eager=False)
     return books
 
 

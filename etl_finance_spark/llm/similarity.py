@@ -396,22 +396,20 @@ def ivf_centroids(vectors: DataFrame,
     at any corpus size. When the corpus fits under the cap — every test
     fixture does — the sample IS the corpus, so the model is bit-for-bit
     the round-3 model and the measured recall constants are unchanged."""
-    # Cut cadence (r08): mid-loop cuts stay eager=False (a job barrier
-    # per pass costs more than it saves at LLOYD_ITERS=2 — the round-3
-    # A/B), but the FINAL model cut is EAGER. Both modes hand the
-    # consumers a truncated leaf at construction; eagerness moves WHEN
-    # training executes — lazy, inside the consuming query's action
-    # (interleaved with its broadcast builds and AQE stages); eager,
-    # as one isolated build-time job whose cached blocks every
-    # consumer (corpus assign, query assign) then reads. Measured on
-    # the PQ twin, paired runs: 10.97s lazy vs 6.77s eager at sf0.1;
-    # protocol-matched bench q_ann_ivf_topk 4.67 -> 3.87s. The price
-    # is a build-time side effect: constructing a consumer DataFrame
-    # trains the model (one small job). That trade is accepted
-    # repo-wide now — same precedent as q_recursive_bfs's eager cut
-    # (tests/test_plan_sweep.py inventory note); the non-eager
-    # mid-loop persists still drain via lineage.release_cuts() after
-    # the consuming query's action.
+    # eager=False everywhere in this builder: the checkpoints still
+    # truncate lineage and cache their blocks on first materialization,
+    # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
+    # driver pass that builds all queries before running any) no longer
+    # trains the model as a side effect — the first real action does.
+    # The non-eager persists drain via lineage.release_cuts() after
+    # the consuming query's action (lineage.py contract).
+    # eager=True on the FINAL cut was A/B'd in r08 and is a WASH —
+    # don't re-try: lazy localCheckpoint already hands consumers a
+    # truncated leaf at construction (only the job defers), and six
+    # bench-faithful paired sessions measured medians of 5.88s eager
+    # vs 5.41s lazy for q_ann_ivf_topk (within host noise; this VM
+    # swings 2x — early fresh-session protos suggesting an eager win
+    # were noise artifacts). Lazy keeps construction side-effect-free.
     # managed_persist, NOT cut_lineage: the sample's lineage is shallow
     # (scan + hash-order + limit) — truncation buys nothing, while the
     # localCheckpoint planning round-trip costs ~1-2s of driver time
@@ -495,7 +493,7 @@ def ivf_centroids(vectors: DataFrame,
         # model, so they never replay k-means lineage.
         it += 1
         if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
-            cent = cut_lineage(cent, eager=(it == LLOYD_ITERS))
+            cent = cut_lineage(cent, eager=False)
     return cent
 
 

@@ -19,15 +19,15 @@ Concurrency (rewritten r08): the module lock guards only the DICT
 run OUTSIDE it, serialized per key by an in-flight event. Two threads
 missing the SAME key still produce exactly one build — the loser
 blocks on the winner's event and returns the winner's frame, which is
-exactly the semantics a shared index wants. But since the ANN model
-builders run their small training job eagerly (the r08 eager final
-lineage cut), a build can take seconds — and under the old
-build-under-lock design that stalled every UNRELATED memo family
-(co-purchase edges vs IVF models) behind one training job. Build
-failures release the in-flight slot, so a waiter retries as the new
-builder rather than caching a broken entry. Builds may still NEST
-(the IVF model build calls back into the corpus memo): no lock is
-held during a build, so the nested call just takes its own turn."""
+exactly the semantics a shared index wants. Builds are normally
+construction-only (lazy frames; materialization happens at the
+consumer's first action), but nothing guarantees a build stays cheap
+— under the old build-under-lock design any slow build stalled every
+UNRELATED memo family (co-purchase edges vs IVF models) behind it.
+Build failures release the in-flight slot, so a waiter retries as the
+new builder rather than caching a broken entry. Builds may NEST (the
+IVF model build calls back into the corpus memo): no lock is held
+during a build, so the nested call just takes its own turn."""
 
 from __future__ import annotations
 

@@ -81,8 +81,9 @@ _QUERY_MODULES = (
 # q_ann_lsh_topk,q_ann_ivf_topk,q_embed_neardup,q_embed_join,
 # q_semantic_dedup,q_ivfpq_topk` from CORRECTNESS_r01-r07): 1 flagship;
 # 0 reds (the cumulative ledger is zero-red since r06); 8 changed-file
-# re-checks (llm/similarity.py + llm/pq.py — the eager final model
-# cut — and streaming/ingest.py's structured-error fallback, so every
+# re-checks (llm/similarity.py + llm/pq.py — the final-model
+# lineage-cut A/B, eager measured a wash and lazy kept — and
+# streaming/ingest.py's structured-error fallback, so every
 # query those modules register re-earns evidence this round); 0
 # never-checked; then the STALENESS FILL — the remaining 23
 # r02-evidence queries plus the oldest r03s, oldest evidence first.
@@ -90,7 +91,7 @@ _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
     # changed-file re-checks: ingest's structured-error fallback and
-    # the two ANN-model modules touched by the eager-cut perf change
+    # the two ANN-model modules touched by the lineage-cut A/B
     "q_incremental_ingest",
     "q_cosine_topk",
     "q_ann_lsh_topk",

@@ -430,14 +430,13 @@ def test_session_memo_cold_start_race_builds_once(spark):
 
 
 def test_session_memo_slow_build_does_not_stall_other_keys(spark):
-    """Since the r08 eager model cuts, a memo build can run a
-    multi-second Spark job. Builds therefore execute OUTSIDE the
-    module lock, serialized per key by an in-flight event: a slow
-    build of one family's key must not block an unrelated family's
-    build (the old build-under-lock design stalled the co-purchase
-    edge memo behind an ANN training job). A failed build must
-    release its slot so a waiter retries as the new builder instead
-    of caching nothing forever."""
+    """Builds execute OUTSIDE the module lock (r08), serialized per
+    key by an in-flight event: nothing guarantees a build stays
+    construction-cheap, and under the old build-under-lock design a
+    slow build of one family's key stalled every unrelated family's
+    memo (co-purchase edges behind an ANN model build). A failed
+    build must release its slot so a waiter retries as the new
+    builder instead of caching nothing forever."""
     import threading
     import time
 
