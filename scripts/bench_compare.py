@@ -1,0 +1,107 @@
+"""Noise-aware comparison of two frozen bench snapshots.
+
+The pinned rule (CLAUDE.md) says cross-round comparisons use per-query
+ratios between protocol-matched BENCH_DETAIL files, never totals — but
+raw per-query ratios still conflate code movement with host drift,
+which bit round 8 twice: an apparent 0.80x "win" matched the 0.85x
+median shift of 163 UNTOUCHED queries (pure host speed), and a later
+freeze showed untouched queries "regressing" 1.3x (pure host slowdown).
+This script applies the methodology that untangled it:
+
+1. the MEDIAN ratio over all shared queries above a time floor is the
+   HOST BASELINE (one changed query family cannot move a 200-query
+   median);
+2. each query's ratio is normalized by that baseline — only queries
+   whose normalized ratio separates from 1.0 carry evidence of code
+   movement;
+3. outliers are printed both raw and normalized so a reader cannot
+   mistake host drift for a regression (or an improvement).
+
+Usage:
+    python scripts/bench_compare.py r07 r08        # old new
+    python scripts/bench_compare.py r07 r08 --floor 0.5 --top 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(tag: str) -> dict:
+    path = os.path.join(REPO, f"BENCH_DETAIL_{tag}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def compare(old: dict, new: dict, floor: float) -> dict:
+    """Pure comparison core (unit-tested): shared queries with
+    old-time >= floor, their ratios, the median host baseline, and
+    normalized ratios."""
+    oq, nq = old["queries"], new["queries"]
+    shared = [q for q in nq if q in oq and oq[q] >= floor]
+    if not shared:
+        raise ValueError(f"no shared queries above floor={floor}")
+    ratios = {q: nq[q] / oq[q] for q in shared}
+    baseline = statistics.median(ratios.values())
+    return {
+        "n": len(shared),
+        "baseline": baseline,
+        "rows": sorted(
+            (
+                {
+                    "query": q,
+                    "old": oq[q],
+                    "new": nq[q],
+                    "ratio": ratios[q],
+                    "normalized": ratios[q] / baseline,
+                }
+                for q in shared
+            ),
+            key=lambda r: r["normalized"],
+            reverse=True,
+        ),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", help="old snapshot tag, e.g. r07")
+    ap.add_argument("new", help="new snapshot tag, e.g. r08")
+    ap.add_argument("--floor", type=float, default=0.5,
+                    help="min old-side seconds for a query to count "
+                         "(sub-floor timings are dominated by per-query "
+                         "session constants)")
+    ap.add_argument("--top", type=int, default=6,
+                    help="outliers to print per direction")
+    args = ap.parse_args()
+    old, new = load(args.old), load(args.new)
+    po, pn = old.get("protocol"), new.get("protocol")
+    if not (isinstance(po, dict) and isinstance(pn, dict)):
+        print("WARNING: a snapshot lacks a protocol block — per the "
+              "pinned rule these files are not protocol-matched",
+              file=sys.stderr)
+    r = compare(old, new, args.floor)
+    print(f"{args.old} -> {args.new}: {r['n']} shared queries "
+          f"(old >= {args.floor}s)")
+    print(f"host baseline (median ratio): {r['baseline']:.3f} — "
+          f"ratios near this are host drift, not code movement")
+    rows = r["rows"]
+    print(f"\nslower than baseline (top {args.top}):")
+    for row in rows[:args.top]:
+        print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
+              f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
+    print(f"\nfaster than baseline (top {args.top}):")
+    for row in rows[:-args.top - 1:-1]:
+        print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
+              f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -704,6 +704,31 @@ def test_bench_quiet_selection_rule():
         bq.select_best(crashed)
 
 
+def test_bench_compare_normalizes_by_untouched_median():
+    """bench_compare's core: the median ratio over shared above-floor
+    queries is the HOST BASELINE, and per-query ratios normalize by it
+    — a uniform host slowdown must normalize to ~1.0 everywhere, while
+    a genuine single-query regression separates. Sub-floor queries
+    (session-constant-dominated) are excluded."""
+    import pytest
+
+    bc = _load_script("bench_compare")
+    old = {"queries": {"a": 1.0, "b": 2.0, "c": 4.0, "tiny": 0.1}}
+    # uniform 1.5x host slowdown, except c regressed 3x for real
+    new = {"queries": {"a": 1.5, "b": 3.0, "c": 12.0, "tiny": 0.9}}
+    r = bc.compare(old, new, floor=0.5)
+    assert r["n"] == 3  # tiny excluded by the floor
+    assert r["baseline"] == pytest.approx(1.5)
+    rows = {row["query"]: row for row in r["rows"]}
+    assert rows["a"]["normalized"] == pytest.approx(1.0)
+    assert rows["b"]["normalized"] == pytest.approx(1.0)
+    assert rows["c"]["normalized"] == pytest.approx(2.0)
+    # rows sort most-suspicious first
+    assert r["rows"][0]["query"] == "c"
+    with pytest.raises(ValueError, match="floor"):
+        bc.compare(old, new, floor=100.0)
+
+
 def test_bench_quiet_rejects_empty_and_checks_per_run():
     """select_best on zero runs is a protocol error, not an opaque
     min() crash; check_run is the per-run fail-fast main() applies so
