@@ -37,9 +37,15 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.RLock()
-# (id(memo), appId, sf_dir) -> Event set when that build finishes
-# (successfully or not); id(memo) scopes keys to their family dict.
-_INFLIGHT: dict[tuple[int, str, str], threading.Event] = {}
+# (id(memo), appId, sf_dir) -> (builder thread id, Event set when that
+# build finishes, successfully or not); id(memo) scopes keys to their
+# family dict. The thread id exists to turn same-memo same-key
+# re-entrancy (a build calling back into session_memo with its OWN
+# flight key) into a loud RuntimeError instead of a silent
+# self-deadlock on done.wait() (ADVICE r08) — cross-memo nesting, the
+# only sanctioned kind, uses a different id(memo) and is unaffected.
+_INFLIGHT: dict[tuple[int, str, str],
+                tuple[int, threading.Event]] = {}
 
 
 def session_memo(memo: dict[tuple[str, str], DataFrame],
@@ -57,12 +63,22 @@ def session_memo(memo: dict[tuple[str, str], DataFrame],
             df = memo.get(key)
             if df is not None:
                 return df
-            done = _INFLIGHT.get(flight_key)
-            if done is None:
+            entry = _INFLIGHT.get(flight_key)
+            if entry is None:
                 done = threading.Event()
-                _INFLIGHT[flight_key] = done
+                _INFLIGHT[flight_key] = (
+                    threading.get_ident(), done)
                 building = True
             else:
+                builder_tid, done = entry
+                if builder_tid == threading.get_ident():
+                    raise RuntimeError(
+                        "session_memo re-entered for the same memo "
+                        f"and key {key!r} from its own builder thread "
+                        "— a same-key nested build would deadlock. "
+                        "Nested builds must target a different memo "
+                        "family (or a different sf_dir/session)."
+                    )
                 building = False
         if building:
             try:

@@ -44,7 +44,9 @@ def compare(old: dict, new: dict, floor: float) -> dict:
     old-time >= floor, their ratios, the median host baseline, and
     normalized ratios."""
     oq, nq = old["queries"], new["queries"]
-    shared = [q for q in nq if q in oq and oq[q] >= floor]
+    # oq[q] > 0 guards --floor 0: a 0.0 old-side timing would pass a
+    # zero floor and divide by zero in the ratio (ADVICE r08)
+    shared = [q for q in nq if q in oq and oq[q] >= floor and oq[q] > 0]
     if not shared:
         raise ValueError(f"no shared queries above floor={floor}")
     ratios = {q: nq[q] / oq[q] for q in shared}
@@ -92,12 +94,17 @@ def main() -> int:
     print(f"host baseline (median ratio): {r['baseline']:.3f} — "
           f"ratios near this are host drift, not code movement")
     rows = r["rows"]
-    print(f"\nslower than baseline (top {args.top}):")
-    for row in rows[:args.top]:
+    # cap each section at half the surviving rows so the two printed
+    # directions never overlap when fewer than 2*top rows survive the
+    # floor (ADVICE r08)
+    n_slow = min(args.top, (len(rows) + 1) // 2)
+    n_fast = min(args.top, len(rows) - n_slow)
+    print(f"\nslower than baseline (top {n_slow}):")
+    for row in rows[:n_slow]:
         print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
               f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
-    print(f"\nfaster than baseline (top {args.top}):")
-    for row in rows[:-args.top - 1:-1]:
+    print(f"\nfaster than baseline (top {n_fast}):")
+    for row in reversed(rows[len(rows) - n_fast:]):
         print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
               f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
     return 0

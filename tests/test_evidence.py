@@ -21,13 +21,15 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Rounds before the quiet-host protocol existed: r03-r05 are bare
-# single-run snapshots, r06 carries a backfilled single-run marker
-# (ADVICE r07) — all grandfathered for the >=3-runs rule but r06+ must
-# at least carry an auditable protocol block.
-PROTOCOL_SINCE = 6   # 'protocol' block required from this round on
+# Rounds before the quiet-host protocol existed (r03-r06) carry
+# backfilled single-run markers (ADVICE r07 for r06, VERDICT r08 item 4
+# for r03-r05) — grandfathered for the >=3-runs rule, but EVERY frozen
+# detail file must carry an auditable protocol block so the exemption
+# is explicit in data rather than implicit in a loop bound.
 BEST_OF_N_SINCE = 7  # >=3 recorded runs required from this round on
 
 
@@ -46,6 +48,11 @@ def _completed_rounds() -> list[int]:
                 rounds.add(int(json.loads(line)["round"]))
             except (ValueError, KeyError, TypeError):
                 continue
+    if not rounds:
+        # every line torn/invalid — diagnose ledger corruption loudly
+        # instead of crashing with max()'s bare ValueError (ADVICE r08)
+        pytest.fail("PROGRESS.jsonl contains no parseable round "
+                    "records — the ledger is corrupt or empty")
     current = max(rounds)
     return sorted(r for r in rounds if r < current)
 
@@ -53,7 +60,8 @@ def _completed_rounds() -> list[int]:
 def test_every_completed_round_froze_its_bench_detail():
     missing, malformed = [], []
     for r in _completed_rounds():
-        if r < PROTOCOL_SINCE:
+        if r < 3:
+            # r01/r02 predate the frozen-detail convention entirely
             continue
         path = os.path.join(REPO, f"BENCH_DETAIL_r{r:02d}.json")
         if not os.path.exists(path):

@@ -41,6 +41,10 @@ HEAVY = (
     "q_dedup_clusters",
     "q_copurchase_pairs",
     "q_percentiles",
+    # heaviest events-backed query (r08 detail: 1.73s) — gives the
+    # events table a presence on the scale curve now that the sf0.3
+    # probe replicates it (VERDICT r08 item 5)
+    "q_atr",
 )
 
 

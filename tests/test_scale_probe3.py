@@ -15,15 +15,18 @@ column far past the original id range, so
   copies (no basket merging -> copurchase fan-out stays per-basket
   quadratic but corpus-linear, exactly the property the tripwire pins);
 - documents: doc_id offsets (q_dedup_clusters self-caps at doc_id<500,
-  so it stays flat here by design — trivially inside the envelope).
+  so it stays flat here by design — trivially inside the envelope);
+- events: event_id AND user_id offsets (the finance indicators and the
+  sessionize/cohort family key their series on user_id, so disjoint
+  users keep per-series work constant and corpus-linear). The events
+  replica is read through catalog.table — NOT a raw parquet read — so
+  the nanos-vs-micros fixture special case is normalized away at
+  generation time: the replica lands as parquet TIMESTAMP(MICROS),
+  which catalog.table's dtype branch handles identically to the
+  current fixture layout (VERDICT r08 item 5).
 
-The replicas are written through Spark (same parquet physical types as
-a Spark re-write of the fixture); none of the three tables needs the
-events nanos-timestamp special case, which is why events is NOT in the
-probe dir — a heavy query that starts reading events must extend the
-generator first (the reminder fires as the parquet scan's
-AnalysisException PATH_NOT_FOUND on the missing probe-dir file;
-'events' is in catalog.TABLES, so catalog.table itself raises nothing).
+The non-events replicas are written through plain Spark reads (same
+parquet physical types as a Spark re-write of the fixture).
 
 Envelope: t(probe) <= SLACK * 3 * max(t(sf0.1), FLOOR) — same SLACK
 rationale as test_scale_probe.py (honest linear scaling passes on a
@@ -48,12 +51,14 @@ SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
 
-# key column to offset per replicated table; the offset stride is far
-# beyond any fixture id so replicas never collide or merge baskets
+# key columns to offset per replicated table; the offset stride is far
+# beyond any fixture id so replicas never collide, merge baskets, or
+# merge per-user series
 TABLES = {
-    "embeddings": ("vec_id", 10_000_000),
-    "documents": ("doc_id", 10_000_000),
-    "lineitem": ("l_orderkey", 100_000_000),
+    "embeddings": (("vec_id", 10_000_000),),
+    "documents": (("doc_id", 10_000_000),),
+    "lineitem": (("l_orderkey", 100_000_000),),
+    "events": (("event_id", 100_000_000), ("user_id", 10_000_000)),
 }
 
 
@@ -75,7 +80,10 @@ def _base_fingerprint(name: str) -> str:
 
 
 def _generate(spark) -> None:
-    for name, (key, stride) in TABLES.items():
+    from etl_finance_spark import catalog
+
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    for name, keys in TABLES.items():
         out = f"{PROBE_DIR}/{name}.parquet"
         fp_file = f"{PROBE_DIR}/{name}.fingerprint"
         fp = _base_fingerprint(name)
@@ -86,18 +94,32 @@ def _generate(spark) -> None:
                         continue  # replica matches the current fixture
             except OSError:
                 pass  # no/unreadable fingerprint -> regenerate
-        base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
-        parts = [
-            base.withColumn(key, F.col(key) + F.lit(i * stride))
-            for i in range(REP)
-        ]
+        if name == "events":
+            # through the normalization layer: ts arrives TIMESTAMP_NTZ
+            # µs whatever the fixture's physical layout, and the replica
+            # is written back as parquet TIMESTAMP(MICROS)
+            base = catalog.table(spark, SF_BASE, name)
+        else:
+            base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
+        parts = []
+        for i in range(REP):
+            p = base
+            for key, stride in keys:
+                p = p.withColumn(key, F.col(key) + F.lit(i * stride))
+            parts.append(p)
         rep = parts[0]
         for p in parts[1:]:
             rep = rep.unionAll(p)
         rep.write.mode("overwrite").parquet(out)
-        os.makedirs(PROBE_DIR, exist_ok=True)
-        with open(fp_file, "w") as fh:
-            fh.write(fp)
+        # re-fingerprint AFTER the write: if the base fixture changed
+        # mid-generation the replica is a mix — leave it unpinned so the
+        # next run regenerates instead of trusting a torn replica
+        fp_after = _base_fingerprint(name)
+        if fp_after == fp:
+            with open(fp_file, "w") as fh:
+                fh.write(fp)
+        elif os.path.exists(fp_file):
+            os.remove(fp_file)
 
 
 @pytest.fixture(scope="module")

@@ -497,6 +497,25 @@ def test_session_memo_builds_may_nest(spark):
     assert len(inner) == 1 and len(outer) == 1
 
 
+def test_session_memo_same_key_reentry_raises_not_hangs(spark):
+    """A build that re-enters session_memo for the SAME memo dict and
+    key would block forever on its own in-flight event (ADVICE r08);
+    the builder-thread-id check must turn that into a loud RuntimeError
+    (and release the slot so a later caller can still build)."""
+    from etl_finance_spark.memo import session_memo
+
+    memo: dict = {}
+
+    def build_reentrant():
+        return session_memo(memo, spark, "/sf", lambda: spark.range(1))
+
+    with pytest.raises(RuntimeError, match="re-entered"):
+        session_memo(memo, spark, "/sf", build_reentrant)
+    # the failed build released its in-flight slot: a fresh caller builds
+    ok = session_memo(memo, spark, "/sf", lambda: spark.range(4))
+    assert ok.count() == 4
+
+
 def test_concurrent_queries_share_one_session_safely(spark):
     """Warehouse concurrency witness: a real deployment runs many
     queries on ONE SparkSession at once, so the session-shared state
@@ -727,6 +746,11 @@ def test_bench_compare_normalizes_by_untouched_median():
     assert r["rows"][0]["query"] == "c"
     with pytest.raises(ValueError, match="floor"):
         bc.compare(old, new, floor=100.0)
+    # --floor 0 with a 0.0 old-side timing must not divide by zero
+    # (ADVICE r08): the zero-old query is excluded, the rest compare
+    zold = {"queries": {"a": 0.0, "b": 2.0, "c": 4.0}}
+    rz = bc.compare(zold, new, floor=0.0)
+    assert rz["n"] == 2 and {row["query"] for row in rz["rows"]} == {"b", "c"}
 
 
 def test_bench_quiet_rejects_empty_and_checks_per_run():
