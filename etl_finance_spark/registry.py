@@ -76,73 +76,69 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-8 composition (exactly 50, derived by `python
-# scripts/plan_window.py --recheck q_incremental_ingest,q_cosine_topk,
-# q_ann_lsh_topk,q_ann_ivf_topk,q_embed_neardup,q_embed_join,
-# q_semantic_dedup,q_ivfpq_topk` from CORRECTNESS_r01-r07): 1 flagship;
-# 0 reds (the cumulative ledger is zero-red since r06); 8 changed-file
-# re-checks (llm/similarity.py + llm/pq.py — the final-model
-# lineage-cut A/B, eager measured a wash and lazy kept — and
-# streaming/ingest.py's structured-error fallback, so every
-# query those modules register re-earns evidence this round); 0
-# never-checked; then the STALENESS FILL — the remaining 23
-# r02-evidence queries plus the oldest r03s, oldest evidence first.
+# Round-9 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_copurchase_pairs,q_cosine_topk,
+# q_ann_ivf_topk,q_ivfpq_topk` from CORRECTNESS_r01-r08): 1 flagship;
+# 0 reds (cumulative ledger zero-red since r06); 4 changed-file
+# re-checks (memo.py's same-key re-entrancy guard — one consumer per
+# session-memo family: graph edges, normalized corpus, IVF model, PQ
+# codebooks); 0 never-checked; then the STALENESS FILL — the 45
+# oldest-evidence queries, all r03, oldest registration first. After
+# this round no query's driver evidence is older than r04.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks: ingest's structured-error fallback and
-    # the two ANN-model modules touched by the lineage-cut A/B
-    "q_incremental_ingest",
+    # changed-file re-checks: memo.py re-entrancy guard consumers
+    "q_copurchase_pairs",
     "q_cosine_topk",
-    "q_ann_lsh_topk",
     "q_ann_ivf_topk",
-    "q_embed_neardup",
-    "q_embed_join",
-    "q_semantic_dedup",
     "q_ivfpq_topk",
-    # staleness fill: the 23 remaining r02-evidence queries ...
-    "q_split_deterministic",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_gap_fill",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_posexplode",
-    "q_regexp_replace",
-    "q_percentiles",
-    "q_approx_percentiles",
-    "q_exists_subquery",
-    "q_correlated_scalar",
-    "q_udf_pandas",
-    "q_udaf_weighted_avg",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_approx_distinct",
-    # ... then the oldest r03-evidence queries
-    "q_agg_groupby",
-    "q_histogram",
-    "q_latest_per_key",
-    "q_skew_distinct",
-    "q_agg_grouping_id",
-    "q_median_by_group",
-    "q_corr_covar",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_corpus_prep",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_lexical_diversity",
-    "q_stream_pair_join",
-    "q_funnel",
-    "q_string_agg",
-    "q_rolling_active_users",
-    "q_snapshot_diff",
+    # staleness fill: r03-evidence queries, oldest first
+    "q_two_nation_volume",
+    "q_returned_revenue_topk",
+    "q_ohlc_hourly",
+    "q_session_stats",
+    "q_snapshot_apply",
+    "q_mad_outliers",
+    "q_retention_matrix",
+    "q_interarrival",
+    "q_win_ntile_scalable",
+    "q_win_lead",
+    "q_win_first_last",
+    "q_fill_forward",
+    "q_win_range_frame",
+    "q_win_pct_rank",
+    "q_topk",
+    "q_win_topk_per_group",
+    "q_zscore",
+    "q_win_cume_dist",
+    "q_interpolate_linear",
+    "q_join_inner",
+    "q_join_asof_events",
+    "q_nullif_coalesce",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_try_cast",
+    "q_array_funcs2",
+    "q_bitwise",
+    "q_greatest_least",
+    "q_str_pad",
+    "q_map_funcs",
+    "q_array_hof3",
+    "q_map_funcs2",
+    "q_regional_revenue",
+    "q_large_orders",
+    "q_time_range_scan",
+    "q_profile_events",
+    "q_revenue_topk",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_shipmode_priority",
+    "q_custdist",
+    "q_promo_revenue",
+    "q_top_supplier",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query
