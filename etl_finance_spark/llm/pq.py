@@ -234,6 +234,12 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
             # eager win were host-noise artifacts (this VM swings 2x).
             # Lazy keeps construction side-effect-free (building a
             # consumer DataFrame must not run a training job).
+            # r09 stage profile (PROFILE_IVF_r09.md): this cut's
+            # synchronous plan compile is 1.2-1.4s of the build — the
+            # single biggest constant — but per-pass lazy cuts A/B'd a
+            # wash and the compile must happen once somewhere; the cost
+            # is session-amortized via _PQ_BOOKS_MEMO and irreducible
+            # under the recall-pinned training constants.
             books = cut_lineage(books, eager=False)
     return books
 

@@ -488,7 +488,11 @@ def ivf_centroids(vectors: DataFrame,
         # LLOYD_ITERS=2 checkpointing every pass spent more wall-clock
         # on job barriers than it saved in lineage (round-3 A/B), while
         # NEVER checkpointing regrows the plan exponentially with the
-        # iteration count (round-2 finding). The downstream consumers
+        # iteration count (round-2 finding). Per-pass LAZY cuts (no job
+        # barrier) were A/B'd in r09: ~0.1s on this builder, a wash on
+        # pq_train — not worth the cadence fork (PROFILE_IVF_r09.md;
+        # the builder's cost is driver-side plan compile, paid once per
+        # session via the model memo). The downstream consumers
         # (corpus + query routing) always see a checkpointed 1-row
         # model, so they never replay k-means lineage.
         it += 1
