@@ -71,6 +71,13 @@ def _base_fingerprint(name: str) -> str:
     datasets."""
     root = f"{SF_BASE}/{name}.parquet"
     size, mtime = 0, 0
+    if os.path.isfile(root):
+        # events ships as a single parquet FILE (not a Spark-style
+        # directory) — os.walk on a file yields nothing, which would
+        # degenerate the fingerprint to a constant "0:0" and silently
+        # pin a replica of a regenerated fixture
+        st = os.stat(root)
+        return f"{st.st_size}:{st.st_mtime_ns}"
     for d, _, files in os.walk(root):
         for f in files:
             st = os.stat(os.path.join(d, f))
