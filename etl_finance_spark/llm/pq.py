@@ -52,8 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.lineage import cut_lineage, managed_persist
-from etl_finance_spark.llm.similarity import DIM, PAIR_SALTS, _l2sq
-from etl_finance_spark.operators.scale import salted_join
+from etl_finance_spark.llm.similarity import DIM, _l2sq
 from etl_finance_spark.registry import register
 
 M = 16            # subspaces
@@ -381,7 +380,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
     query set (e.g. negate or offset vec_id) before calling, exactly
     as for ann_ivf_topk."""
     from etl_finance_spark.llm.similarity import (
-        N_PROBE, dot, ivf_assign, ivf_centroids,
+        dot, ivf_candidates, ivf_centroids, ivf_query_cells,
     )
 
     if refine < 1:
@@ -395,16 +394,12 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int,
     if books is None:
         books = pq_train(vectors)
     corpus = ivfpq_index(vectors, cent, books)
-    query_cells = ivf_assign(queries, cent, N_PROBE).select(
-        F.col("vec_id").alias("qid"), "cell"
-    )
     luts = adc_lut(queries, books)
-    cand = (
-        salted_join(corpus, query_cells, "cell",
-                    salt=PAIR_SALTS, salt_on=["cid"])
-        .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", "codes")
-    )
+    # shared candidate stage (similarity.ivf_candidates): salted cell
+    # join, self-pair drop; carry=codes ships the 8-byte PQ codes — the
+    # ~32x-narrower-than-float shuffle that is this rung's point
+    cand = ivf_candidates(corpus, ivf_query_cells(queries, cent),
+                          carry=("codes",))
     # rank by the 6dp-ROUNDED score with the unique cid tiebreak (the
     # repo-wide ranking discipline every sibling rung follows)
     scored = cand.join(luts, "qid").select(

@@ -528,6 +528,55 @@ def ivf_assign(vectors: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
+def ivf_corpus_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """Corpus routing in the candidate-join convention: ``(cid, cell)``,
+    one row per corpus vector (nprobe=1). Shared by ann_ivf_topk and the
+    stage profiler (scripts/profile_ivf.py) so the profiled plan IS the
+    production plan, not a hand-rolled copy that can drift (ADVICE r09)."""
+    return ivf_assign(vectors, cent, 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+
+
+def ivf_query_cells(vectors: DataFrame, cent: DataFrame,
+                    nprobe: int = N_PROBE) -> DataFrame:
+    """Query routing in the candidate-join convention: ``(qid, cell)``,
+    nprobe rows per query. Shared by ann_ivf_topk, pq.ivfpq_topk, and
+    the stage profiler."""
+    return ivf_assign(vectors, cent, nprobe).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+
+
+def ivf_candidates(corpus_cells: DataFrame, query_cells: DataFrame,
+                   *, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The shared IVF candidate stage: salted cell join + self-pair drop.
+
+    ``corpus_cells`` must expose (cid, cell, *carry) — plain routing for
+    the float rung, the PQ codes column for ivfpq_topk (``carry=
+    ("codes",)`` ships the 8-byte codes through the join so ADC never
+    touches a corpus vector). ``query_cells`` is ivf_query_cells output.
+
+    No distinct here (unlike the LSH rung): each corpus vector lives in
+    exactly ONE cell (nprobe=1 routing) and a query's probed cells are
+    distinct by construction (slice of a per-cell score sort), so a
+    (qid, cid) pair can only arise once — a dedup would be a pure
+    candidate-cardinality shuffle bought for nothing.
+
+    SALTED on the corpus side's cid bucket (same move as the
+    semantic_dedup pair scan): a bare-cell join has only N_CELLS
+    distinct keys, capping candidate generation at N_CELLS tasks with
+    the largest cell as straggler. The small query-routing side
+    replicates PAIR_SALTS x; each (qid, cid) still meets exactly once
+    (the bucket is a function of cid alone)."""
+    return (
+        salted_join(corpus_cells, query_cells, "cell",
+                    salt=PAIR_SALTS, salt_on=["cid"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", *carry)
+    )
+
+
 def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
                  cent: DataFrame | None = None) -> DataFrame:
     """IVF ANN: corpus partitioned into N_CELLS coarse cells (1 cell per
@@ -554,29 +603,8 @@ def ann_ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     vectors = managed_persist(vectors)
     if cent is None:
         cent = ivf_centroids(vectors)
-    corpus_cells = ivf_assign(vectors, cent, 1).select(
-        F.col("vec_id").alias("cid"), "cell"
-    )
-    query_cells = ivf_assign(queries, cent, N_PROBE).select(
-        F.col("vec_id").alias("qid"), "cell"
-    )
-    # No distinct here (unlike the LSH rung): each corpus vector lives in
-    # exactly ONE cell (nprobe=1 routing) and a query's probed cells are
-    # distinct by construction (slice of a per-cell score sort), so a
-    # (qid, cid) pair can only arise once — a dedup would be a pure
-    # candidate-cardinality shuffle bought for nothing.
-    # SALTED on the corpus side's cid bucket (same move as the
-    # semantic_dedup pair scan): a bare-cell join has only N_CELLS
-    # distinct keys, capping candidate generation at N_CELLS tasks with
-    # the largest cell as straggler. The small query-routing side
-    # replicates PAIR_SALTS x; each (qid, cid) still meets exactly once
-    # (the bucket is a function of cid alone).
-    cand = (
-        salted_join(corpus_cells, query_cells, "cell",
-                    salt=PAIR_SALTS, salt_on=["cid"])
-        .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid")
-    )
+    cand = ivf_candidates(ivf_corpus_cells(vectors, cent),
+                          ivf_query_cells(queries, cent))
     qv = queries.select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
         F.col("nrm").alias("qn"),

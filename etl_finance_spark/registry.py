@@ -76,69 +76,73 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-9 composition (exactly 50, derived by `python
-# scripts/plan_window.py --recheck q_copurchase_pairs,q_cosine_topk,
-# q_ann_ivf_topk,q_ivfpq_topk` from CORRECTNESS_r01-r08): 1 flagship;
-# 0 reds (cumulative ledger zero-red since r06); 4 changed-file
-# re-checks (memo.py's same-key re-entrancy guard — one consumer per
-# session-memo family: graph edges, normalized corpus, IVF model, PQ
-# codebooks); 0 never-checked; then the STALENESS FILL — the 45
-# oldest-evidence queries, all r03, oldest registration first. After
-# this round no query's driver evidence is older than r04.
+# Round-10 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_cosine_topk,q_ann_lsh_topk,
+# q_ann_ivf_topk,q_embed_neardup,q_embed_join,q_semantic_dedup,
+# q_ivfpq_topk` from CORRECTNESS_r01-r09): 1 flagship; 0 reds
+# (cumulative ledger zero-red since r06); 7 changed-file re-checks
+# (every query registered in llm/similarity.py + llm/pq.py — the IVF
+# candidate-stage extraction into shared helpers, ADVICE r09); 0
+# never-checked; then the STALENESS FILL — all 14 r04-evidence and all
+# 21 r05-evidence queries plus the 7 oldest r06 queries, oldest round
+# then registration order. After this round no query's driver
+# evidence is older than r06.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks: memo.py re-entrancy guard consumers
-    "q_copurchase_pairs",
+    # changed-file re-checks: IVF candidate-stage helper extraction
     "q_cosine_topk",
+    "q_ann_lsh_topk",
     "q_ann_ivf_topk",
+    "q_embed_neardup",
+    "q_embed_join",
+    "q_semantic_dedup",
     "q_ivfpq_topk",
-    # staleness fill: r03-evidence queries, oldest first
-    "q_two_nation_volume",
-    "q_returned_revenue_topk",
-    "q_ohlc_hourly",
-    "q_session_stats",
-    "q_snapshot_apply",
-    "q_mad_outliers",
-    "q_retention_matrix",
-    "q_interarrival",
-    "q_win_ntile_scalable",
-    "q_win_lead",
-    "q_win_first_last",
-    "q_fill_forward",
-    "q_win_range_frame",
-    "q_win_pct_rank",
-    "q_topk",
-    "q_win_topk_per_group",
-    "q_zscore",
-    "q_win_cume_dist",
-    "q_interpolate_linear",
-    "q_join_inner",
-    "q_join_asof_events",
-    "q_nullif_coalesce",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_array_funcs",
-    "q_try_cast",
-    "q_array_funcs2",
-    "q_bitwise",
-    "q_greatest_least",
-    "q_str_pad",
-    "q_map_funcs",
-    "q_array_hof3",
-    "q_map_funcs2",
-    "q_regional_revenue",
-    "q_large_orders",
-    "q_time_range_scan",
-    "q_profile_events",
-    "q_revenue_topk",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_shipmode_priority",
-    "q_custdist",
-    "q_promo_revenue",
-    "q_top_supplier",
+    # staleness fill: r04 evidence (14), oldest first
+    "q_disjunctive_rev",
+    "q_suppliers_waiting",
+    "q_idle_customers",
+    "q_yoy_growth",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_stock",
+    "q_supplier_cnt",
+    "q_small_qty_revenue",
+    "q_excess_suppliers",
+    "q_variant_agg",
+    "q_lateral_topn",
+    "q_null_semantics",
+    "q_pivot_multi",
+    # staleness fill: r05 evidence (21)
+    "q_mode_by_group",
+    "q_moments",
+    "q_regr_ols",
+    "q_pagerank",
+    "q_ohlc_daily_reagg",
+    "q_scd2_build",
+    "q_dq_expectations",
+    "q_triangle_count",
+    "q_ewma",
+    "q_bollinger",
+    "q_rsi",
+    "q_stochastic",
+    "q_obv",
+    "q_macd",
+    "q_beta",
+    "q_atr",
+    "q_golden_cross",
+    "q_sharpe",
+    "q_hll_union",
+    "q_theta_setops",
+    "q_kll_quantiles",
+    # staleness fill: oldest r06 evidence (7)
+    "q_dedup_text",
+    "q_text_stats",
+    "q_stream_tumbling",
+    "q_union_by_name",
+    "q_explode_outer",
+    "q_udf_py",
+    "q_agg_collect_sorted",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query

@@ -111,19 +111,16 @@ def main() -> int:
         noop(pq.ivfpq_index(emb, cent, books))
 
     def p_candidates():
+        # the exact helpers ivfpq_topk calls (similarity.ivf_candidates
+        # / ivf_query_cells) — a refactor of the production candidate
+        # stage is automatically profiled, never silently diverged from
+        # (ADVICE r09: the old hand-inlined copy drifted once already)
         emb = norm_corpus()
         corpus_idx = pq.ivfpq_index(emb, cent, books)
         queries = emb.filter(F.col("vec_id") < similarity.N_QUERY)
-        qc = similarity.ivf_assign(queries, cent, similarity.N_PROBE).select(
-            F.col("vec_id").alias("qid"), "cell")
-        from etl_finance_spark.operators.scale import salted_join
-        cand = (
-            salted_join(corpus_idx, qc, "cell",
-                        salt=similarity.PAIR_SALTS, salt_on=["cid"])
-            .filter(F.col("cid") != F.col("qid"))
-            .select("qid", "cid", "codes")
-        )
-        noop(cand)
+        noop(similarity.ivf_candidates(
+            corpus_idx, similarity.ivf_query_cells(queries, cent),
+            carry=("codes",)))
 
     def p_adc_shortlist():
         emb = norm_corpus()
@@ -140,18 +137,9 @@ def main() -> int:
     def p_ann_candidates():
         emb = similarity._corpus_unit_vecs(spark, sf)
         queries = emb.filter(F.col("vec_id") < similarity.N_QUERY)
-        cc = similarity.ivf_assign(emb, cent, 1).select(
-            F.col("vec_id").alias("cid"), "cell")
-        qc = similarity.ivf_assign(queries, cent, similarity.N_PROBE).select(
-            F.col("vec_id").alias("qid"), "cell")
-        from etl_finance_spark.operators.scale import salted_join
-        cand = (
-            salted_join(cc, qc, "cell",
-                        salt=similarity.PAIR_SALTS, salt_on=["cid"])
-            .filter(F.col("cid") != F.col("qid"))
-            .select("qid", "cid")
-        )
-        noop(cand)
+        noop(similarity.ivf_candidates(
+            similarity.ivf_corpus_cells(emb, cent),
+            similarity.ivf_query_cells(queries, cent)))
 
     stages = {
         "ivfpq.encode_index": p_encode,

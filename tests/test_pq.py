@@ -196,16 +196,12 @@ def test_ivfpq_invariant_to_salting_and_partitioning(spark):
 
     base = snap(emb)
     assert len(base) == 30 * TOP_K
+    # the candidate stage is shared (similarity.ivf_candidates), so one
+    # patch point covers both rungs — pq.py no longer salts on its own
     old = S.PAIR_SALTS
     S.PAIR_SALTS = 1
     try:
-        import etl_finance_spark.llm.pq as P
-        old_p = P.PAIR_SALTS
-        P.PAIR_SALTS = 1
-        try:
-            assert snap(emb) == base
-        finally:
-            P.PAIR_SALTS = old_p
+        assert snap(emb) == base
     finally:
         S.PAIR_SALTS = old
     assert snap(emb.repartition(7)) == base

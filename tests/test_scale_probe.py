@@ -45,6 +45,11 @@ HEAVY = (
     # events table a presence on the scale curve now that the sf0.3
     # probe replicates it (VERDICT r08 item 5)
     "q_atr",
+    # the two remaining bench heavies (VERDICT r09 item 4): the only
+    # top-5 query that was absent from this tier, and the heaviest
+    # documents-backed query — gives documents a presence on the curve
+    "q_ann_lsh_topk",
+    "q_span_dedup",
 )
 
 

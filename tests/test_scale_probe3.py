@@ -93,40 +93,49 @@ def _generate(spark) -> None:
     for name, keys in TABLES.items():
         out = f"{PROBE_DIR}/{name}.parquet"
         fp_file = f"{PROBE_DIR}/{name}.fingerprint"
-        fp = _base_fingerprint(name)
         if os.path.exists(f"{out}/_SUCCESS"):
             try:
                 with open(fp_file) as fh:
-                    if fh.read() == fp:
+                    if fh.read() == _base_fingerprint(name):
                         continue  # replica matches the current fixture
             except OSError:
                 pass  # no/unreadable fingerprint -> regenerate
-        if name == "events":
-            # through the normalization layer: ts arrives TIMESTAMP_NTZ
-            # µs whatever the fixture's physical layout, and the replica
-            # is written back as parquet TIMESTAMP(MICROS)
-            base = catalog.table(spark, SF_BASE, name)
+        # Re-fingerprint AFTER each write: if the base fixture changed
+        # mid-generation the replica is a mix of old and new rows.
+        # Bounded retry (ADVICE r09): a torn replica must never be
+        # MEASURED this run, not just left unpinned for the next one.
+        for _attempt in range(3):
+            fp = _base_fingerprint(name)
+            if name == "events":
+                # through the normalization layer: ts arrives
+                # TIMESTAMP_NTZ µs whatever the fixture's physical
+                # layout, and the replica is written back as parquet
+                # TIMESTAMP(MICROS)
+                base = catalog.table(spark, SF_BASE, name)
+            else:
+                base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
+            parts = []
+            for i in range(REP):
+                p = base
+                for key, stride in keys:
+                    p = p.withColumn(key, F.col(key) + F.lit(i * stride))
+                parts.append(p)
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionAll(p)
+            rep.write.mode("overwrite").parquet(out)
+            if _base_fingerprint(name) == fp:
+                with open(fp_file, "w") as fh:
+                    fh.write(fp)
+                break
         else:
-            base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
-        parts = []
-        for i in range(REP):
-            p = base
-            for key, stride in keys:
-                p = p.withColumn(key, F.col(key) + F.lit(i * stride))
-            parts.append(p)
-        rep = parts[0]
-        for p in parts[1:]:
-            rep = rep.unionAll(p)
-        rep.write.mode("overwrite").parquet(out)
-        # re-fingerprint AFTER the write: if the base fixture changed
-        # mid-generation the replica is a mix — leave it unpinned so the
-        # next run regenerates instead of trusting a torn replica
-        fp_after = _base_fingerprint(name)
-        if fp_after == fp:
-            with open(fp_file, "w") as fh:
-                fh.write(fp)
-        elif os.path.exists(fp_file):
-            os.remove(fp_file)
+            if os.path.exists(fp_file):
+                os.remove(fp_file)
+            pytest.fail(
+                f"{name}: base fixture at {SF_BASE} kept changing during "
+                f"replica generation (3 attempts) — refusing to measure "
+                f"a torn replica"
+            )
 
 
 @pytest.fixture(scope="module")
