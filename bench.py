@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_finance_spark import registry
+from etl_finance_spark.measure import run_noop
 from etl_finance_spark.session import get_spark
 
 
@@ -36,7 +37,7 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         if df.isStreaming:  # pragma: no cover - no streaming declared
             raise ValueError("bench runs batch plans only")
-        df.write.format("noop").mode("overwrite").save()
+        run_noop(df)  # the shared sink protocol (measure.py)
 
     # Warm the JVM/codegen across the main plan shapes (scan, shuffle
     # agg, window) so the alphabetically-first measured queries don't

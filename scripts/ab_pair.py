@@ -11,9 +11,19 @@ identical host state, then compare medians.
 
     python scripts/ab_pair.py q_agg_groupby q_agg_having --reps 7
 
-Measurement matches bench.py exactly: same get_spark session, noop sink
-(full column evaluation, no write-out cost), release_cuts() drained
-outside the timer, warm-up rep per query before measurement.
+Design points:
+
+- Measurement is the shared protocol (etl_finance_spark.measure:
+  noop sink, release_cuts drained outside the timer) — the same
+  quantity bench.py and the scale probes measure, by construction.
+- ABBA alternation: pair order flips every rep (T,C / C,T / T,C ...)
+  so asymmetric residue from whichever query runs first (GC pressure,
+  page-cache state) lands on both sides equally instead of
+  systematically inflating the second position.
+- A rep that crashes aborts the adjudication LOUDLY with the partial
+  timings in the JSON (exit 1): a paired ratio over a half-failed
+  session is not evidence, and silently NaN-ing a rep would bias the
+  median.
 
 Output: one JSON line with per-rep timings, medians, and the
 target/control median ratio. Adjudication of "noise vs real" is done by
@@ -28,21 +38,11 @@ import json
 import os
 import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_finance_spark import registry
-from etl_finance_spark.lineage import release_cuts
-from etl_finance_spark.session import get_spark
-
-
-def timed_run(spark, fn, sf_dir: str) -> float:
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    release_cuts()  # drain outside the timer, like bench.py
-    return dt
+from etl_finance_spark.measure import timed_noop_run
 
 
 def main() -> int:
@@ -63,31 +63,50 @@ def main() -> int:
         if name not in specs:
             ap.error(f"unknown query {name!r}")
 
+    from etl_finance_spark.session import get_spark
+
     spark = get_spark("ab_pair")
     spark.sparkContext.setLogLevel("ERROR")
 
+    times: dict[str, list[float]] = {args.target: [], args.control: []}
+
+    def rep(name: str, record: bool) -> None:
+        try:
+            dt = timed_noop_run(spark, specs[name].fn, args.sf_dir)
+        except Exception as exc:  # abort loudly with the partial data
+            print(json.dumps({
+                "error": f"{name} failed: {exc}",
+                "target": args.target, "control": args.control,
+                "target_times": [round(t, 3) for t in times[args.target]],
+                "control_times": [round(t, 3) for t in times[args.control]],
+            }))
+            raise SystemExit(1)
+        if record:
+            times[name].append(dt)
+
     # Warm both once (codegen + session memos), unmeasured — bench.py
     # likewise warms the main plan shapes before timing.
-    timed_run(spark, specs[args.target].fn, args.sf_dir)
-    timed_run(spark, specs[args.control].fn, args.sf_dir)
+    rep(args.target, record=False)
+    rep(args.control, record=False)
 
-    t_reps: list[float] = []
-    c_reps: list[float] = []
-    for _ in range(args.reps):
-        # strict interleave: each pair of reps sees near-identical host
-        # state, so an interference window inflates both, not one
-        t_reps.append(timed_run(spark, specs[args.target].fn, args.sf_dir))
-        c_reps.append(timed_run(spark, specs[args.control].fn, args.sf_dir))
+    for i in range(args.reps):
+        # ABBA: flip pair order each rep; strict interleave keeps each
+        # pair under near-identical host state either way
+        first, second = ((args.target, args.control) if i % 2 == 0
+                         else (args.control, args.target))
+        rep(first, record=True)
+        rep(second, record=True)
 
-    t_med = statistics.median(t_reps)
-    c_med = statistics.median(c_reps)
+    t_med = statistics.median(times[args.target])
+    c_med = statistics.median(times[args.control])
     print(json.dumps({
         "target": args.target,
         "control": args.control,
         "sf_dir": args.sf_dir,
         "reps": args.reps,
-        "target_times": [round(t, 3) for t in t_reps],
-        "control_times": [round(t, 3) for t in c_reps],
+        "order": "ABBA",
+        "target_times": [round(t, 3) for t in times[args.target]],
+        "control_times": [round(t, 3) for t in times[args.control]],
         "target_median": round(t_med, 3),
         "control_median": round(c_med, 3),
         "paired_ratio": round(t_med / c_med, 3) if c_med > 0 else None,

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 
 def noop(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+    from etl_finance_spark.measure import run_noop
+
+    run_noop(df)  # the shared sink protocol (measure.py)
 
 
 def timed(fn, reps: int) -> list[float]:

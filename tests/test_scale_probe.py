@@ -22,11 +22,10 @@ in test_scale_smoke.py; this file owns the wall-clock dimension.
 
 from __future__ import annotations
 
-import time
-
 import pytest
 
 from etl_finance_spark import registry
+from etl_finance_spark.measure import timed_noop_run
 
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
@@ -54,13 +53,9 @@ HEAVY = (
 
 
 def _timed_run(spark, fn, sf_dir: str) -> float:
-    from etl_finance_spark.lineage import release_cuts
-
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    release_cuts()  # drain outside the timer, like bench.py
-    return dt
+    # the shared protocol (noop sink, cuts drained outside the timer)
+    # lives in measure.py — one home, no per-harness drift
+    return timed_noop_run(spark, fn, sf_dir)
 
 
 @pytest.mark.scaleprobe

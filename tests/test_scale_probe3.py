@@ -15,7 +15,18 @@ column far past the original id range, so
   copies (no basket merging -> copurchase fan-out stays per-basket
   quadratic but corpus-linear, exactly the property the tripwire pins);
 - documents: doc_id offsets (q_dedup_clusters self-caps at doc_id<500,
-  so it stays flat here by design — trivially inside the envelope);
+  so it stays flat here by design — trivially inside the envelope),
+  PLUS a per-copy text salt (vowel-rotation translate on copies > 0):
+  verbatim-copied text would put every SEG_K-word segment in >= REP
+  distinct docs, flipping q_span_dedup's boilerplate threshold
+  (SEG_MIN_DOCS=2) corpus-wide — the anti join would empty the "kept"
+  stage and the per-doc reassembly shuffle would aggregate zero rows
+  at the probe point while doing full work at sf0.1, hiding exactly
+  the super-linear regressions the third point exists to catch. The
+  rotation is a fixed-point-free bijection per copy, so essentially
+  every segment stays copy-distinct and the kept/reassembly stages
+  carry ~REP x rows; copy 0 is untouched (q_dedup_clusters's
+  doc_id<500 world is byte-identical to the fixture);
 - events: event_id AND user_id offsets (the finance indicators and the
   sessionize/cohort family key their series on user_id, so disjoint
   users keep per-series work constant and corpus-linear). The events
@@ -50,6 +61,14 @@ from test_scale_probe import FLOOR, HEAVY, SLACK, _timed_run
 SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
+GEN_VERSION = 2  # bump when the replica TRANSFORM changes (not just
+                 # the base fixture): the fingerprint hashes only the
+                 # base table, so replicas written by an older
+                 # generator must be forced to regenerate
+
+# per-copy text-salted columns (see module docstring: span-dedup's
+# cross-doc threshold must not see verbatim copies)
+TEXT_SALT = {"documents": "text"}
 
 # key columns to offset per replicated table; the offset stride is far
 # beyond any fixture id so replicas never collide, merge baskets, or
@@ -77,13 +96,13 @@ def _base_fingerprint(name: str) -> str:
         # degenerate the fingerprint to a constant "0:0" and silently
         # pin a replica of a regenerated fixture
         st = os.stat(root)
-        return f"{st.st_size}:{st.st_mtime_ns}"
+        return f"g{GEN_VERSION}:{st.st_size}:{st.st_mtime_ns}"
     for d, _, files in os.walk(root):
         for f in files:
             st = os.stat(os.path.join(d, f))
             size += st.st_size
             mtime = max(mtime, st.st_mtime_ns)
-    return f"{size}:{mtime}"
+    return f"g{GEN_VERSION}:{size}:{mtime}"
 
 
 def _generate(spark) -> None:
@@ -119,6 +138,15 @@ def _generate(spark) -> None:
                 p = base
                 for key, stride in keys:
                     p = p.withColumn(key, F.col(key) + F.lit(i * stride))
+                salt_col = TEXT_SALT.get(name)
+                if salt_col is not None and i > 0:
+                    # fixed-point-free vowel rotation, distinct per copy
+                    # (rotation i of "aeiou" maps no vowel to itself for
+                    # 1 <= i <= 4); copy 0 stays byte-identical
+                    rot = "aeiou"[i:] + "aeiou"[:i]
+                    p = p.withColumn(
+                        salt_col, F.translate(salt_col, "aeiou", rot)
+                    )
                 parts.append(p)
             rep = parts[0]
             for p in parts[1:]:
