@@ -396,6 +396,7 @@ def test_heavy_queries_survive_small_heap():
 import sys
 sys.path.insert(0, %(repo)r)
 from etl_finance_spark import registry
+from etl_finance_spark.measure import run_noop
 from etl_finance_spark.session import get_spark
 spark = get_spark("lowmem", cpus=4, shuffle_partitions=16)
 spark.sparkContext.setLogLevel("ERROR")
@@ -403,8 +404,7 @@ assert spark.conf.get("spark.driver.memory") == "1g"
 specs = registry.collect()
 for name in ("q_dedup_text", "q_percentiles", "q_dedup_clusters",
              "q_copurchase_pairs", "q_minhash_lsh", "q_ann_ivf_topk"):
-    df = specs[name].fn(spark, "/root/testdata/sf0.1")
-    df.write.format("noop").mode("overwrite").save()
+    run_noop(specs[name].fn(spark, "/root/testdata/sf0.1"))
     print("OK", name, flush=True)
 print("DONE")
 """ % {"repo": repo}

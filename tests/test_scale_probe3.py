@@ -142,7 +142,16 @@ def _generate(spark) -> None:
                 if salt_col is not None and i > 0:
                     # fixed-point-free vowel rotation, distinct per copy
                     # (rotation i of "aeiou" maps no vowel to itself for
-                    # 1 <= i <= 4); copy 0 stays byte-identical
+                    # 1 <= i <= 4); copy 0 stays byte-identical. Only 4
+                    # distinct non-identity rotations exist, so REP > 5
+                    # would reintroduce verbatim text copies (i=5 slices
+                    # to the identity; modular reuse collides copies) —
+                    # refuse loudly rather than go blind
+                    assert 1 <= i <= 4, (
+                        f"REP={REP} exceeds the vowel-rotation salt's "
+                        f"capacity (max 5 copies); pick a different "
+                        f"per-copy text transform before raising REP"
+                    )
                     rot = "aeiou"[i:] + "aeiou"[:i]
                     p = p.withColumn(
                         salt_col, F.translate(salt_col, "aeiou", rot)
