@@ -539,10 +539,14 @@ def ivf_corpus_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def ivf_query_cells(vectors: DataFrame, cent: DataFrame,
-                    nprobe: int = N_PROBE) -> DataFrame:
+                    nprobe: int | None = None) -> DataFrame:
     """Query routing in the candidate-join convention: ``(qid, cell)``,
     nprobe rows per query. Shared by ann_ivf_topk, pq.ivfpq_topk, and
-    the stage profiler."""
+    the stage profiler. N_PROBE is read at call time (late-bound, the
+    PAIR_SALTS convention) so a monkeypatched module global still
+    reaches callers that omit nprobe."""
+    if nprobe is None:
+        nprobe = N_PROBE
     return ivf_assign(vectors, cent, nprobe).select(
         F.col("vec_id").alias("qid"), "cell"
     )

@@ -76,21 +76,21 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-10 composition (exactly 50, derived by `python
+# Round-11 composition (exactly 50, derived by `python
 # scripts/plan_window.py --recheck q_cosine_topk,q_ann_lsh_topk,
 # q_ann_ivf_topk,q_embed_neardup,q_embed_join,q_semantic_dedup,
-# q_ivfpq_topk` from CORRECTNESS_r01-r09): 1 flagship; 0 reds
+# q_ivfpq_topk` from CORRECTNESS_r01-r10): 1 flagship; 0 reds
 # (cumulative ledger zero-red since r06); 7 changed-file re-checks
-# (every query registered in llm/similarity.py + llm/pq.py — the IVF
-# candidate-stage extraction into shared helpers, ADVICE r09); 0
-# never-checked; then the STALENESS FILL — all 14 r04-evidence and all
-# 21 r05-evidence queries plus the 7 oldest r06 queries, oldest round
-# then registration order. After this round no query's driver
-# evidence is older than r06.
+# (every query registered in llm/similarity.py + its pq.py consumer —
+# ivf_query_cells's nprobe default moved to late-bound N_PROBE
+# resolution, ADVICE r10); 0 never-checked; then the STALENESS FILL —
+# all 34 remaining r06-evidence queries plus the 8 oldest r07 queries,
+# oldest round then registration order. After this round no query's
+# driver evidence is older than r07.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks: IVF candidate-stage helper extraction
+    # changed-file re-checks: ivf_query_cells N_PROBE late binding
     "q_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
@@ -98,51 +98,50 @@ _DRIVER_WINDOW = (
     "q_embed_join",
     "q_semantic_dedup",
     "q_ivfpq_topk",
-    # staleness fill: r04 evidence (14), oldest first
-    "q_disjunctive_rev",
-    "q_suppliers_waiting",
-    "q_idle_customers",
-    "q_yoy_growth",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_stock",
-    "q_supplier_cnt",
-    "q_small_qty_revenue",
-    "q_excess_suppliers",
-    "q_variant_agg",
-    "q_lateral_topn",
-    "q_null_semantics",
-    "q_pivot_multi",
-    # staleness fill: r05 evidence (21)
-    "q_mode_by_group",
-    "q_moments",
-    "q_regr_ols",
-    "q_pagerank",
-    "q_ohlc_daily_reagg",
-    "q_scd2_build",
-    "q_dq_expectations",
-    "q_triangle_count",
-    "q_ewma",
-    "q_bollinger",
-    "q_rsi",
-    "q_stochastic",
-    "q_obv",
-    "q_macd",
-    "q_beta",
-    "q_atr",
-    "q_golden_cross",
-    "q_sharpe",
-    "q_hll_union",
-    "q_theta_setops",
-    "q_kll_quantiles",
-    # staleness fill: oldest r06 evidence (7)
-    "q_dedup_text",
-    "q_text_stats",
-    "q_stream_tumbling",
-    "q_union_by_name",
-    "q_explode_outer",
-    "q_udf_py",
-    "q_agg_collect_sorted",
+    # staleness fill: r06 evidence (34), registration order
+    "q_bool_aggs",
+    "q_bitmap_distinct",
+    "q_multimodal_meta",
+    "q_dedup_clusters",
+    "q_repetition_score",
+    "q_stream_pair_outer",
+    "q_select_exprs",
+    "q_cohort_retention",
+    "q_win_rownum",
+    "q_scan_parquet",
+    "q_join_range",
+    "q_priority_wait",
+    "q_pack_contexts",
+    "q_domain_mix",
+    "q_decontaminate",
+    "q_source_cap",
+    "q_span_dedup",
+    "q_pii_redact",
+    "q_chunk_windows",
+    "q_array_agg_distinct",
+    "q_corpus_stats",
+    "q_event_transitions",
+    "q_pricing_summary",
+    "q_sessionize_gaps",
+    "q_embed_standardize",
+    "q_drawdown",
+    "q_vwap",
+    "q_hll_distinct",
+    "q_variant_get",
+    "q_python_datasource",
+    "q_recursive_bfs",
+    "q_frequent_items",
+    "q_rollup_merge",
+    "q_backfill_partitions",
+    # staleness fill: oldest r07 evidence (8)
+    "q_jaccard_pairs",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_jaccard_prefix",
+    "q_docs_by_lang",
+    "q_term_freq",
+    "q_lang_id",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query

@@ -9,7 +9,7 @@ selection. The only trustworthy per-query signal is a PAIRED design:
 interleave target and control reps inside one session so both see the
 identical host state, then compare medians.
 
-    python scripts/ab_pair.py q_agg_groupby q_agg_having --reps 7
+    python scripts/ab_pair.py q_agg_groupby q_agg_having --reps 8
 
 Design points:
 

@@ -71,6 +71,44 @@ def compare(old: dict, new: dict, floor: float) -> dict:
     }
 
 
+# Pinned re-open triggers (VERDICT r10 item 6): prose obligations from
+# profiling docs, made self-executing so a future round cannot forget
+# them. Each entry maps a query to (normalized-ratio threshold, the doc
+# that pins why). PROFILE_IVF_r09.md accepted the IVF rungs' one-time
+# k-means training floor with the re-open condition "a normalized
+# bench_compare move on these queries specifically" — a move PAST the
+# threshold in EITHER direction invalidates the profiled floor (slower:
+# the candidate stage may have gone super-linear; faster: the floor
+# analysis itself is stale and the accepted cost breakdown no longer
+# describes the plan).
+WATCH_TRIGGERS = {
+    "q_ann_ivf_topk": (1.5, "PROFILE_IVF_r09.md"),
+    "q_ivfpq_topk": (1.5, "PROFILE_IVF_r09.md"),
+}
+
+
+def check_triggers(result: dict) -> list[dict]:
+    """Evaluate the pinned triggers against a compare() result. Returns
+    one record per watched query that is present among the shared
+    rows; `fired` is True when the normalized ratio leaves the
+    [1/threshold, threshold] envelope."""
+    rows = {r["query"]: r for r in result["rows"]}
+    out = []
+    for q, (th, doc) in sorted(WATCH_TRIGGERS.items()):
+        row = rows.get(q)
+        if row is None:
+            continue  # below floor or absent from a snapshot
+        norm = row["normalized"]
+        out.append({
+            "query": q,
+            "normalized": norm,
+            "threshold": th,
+            "doc": doc,
+            "fired": norm > th or norm < 1.0 / th,
+        })
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old", help="old snapshot tag, e.g. r07")
@@ -107,7 +145,21 @@ def main() -> int:
     for row in reversed(rows[len(rows) - n_fast:]):
         print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
               f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
-    return 0
+    triggers = check_triggers(r)
+    if triggers:
+        print("\npinned re-open triggers:")
+    fired = False
+    for t in triggers:
+        status = "FIRED — re-open" if t["fired"] else "ok"
+        print(f"  {t['query']:26s} normalized x{t['normalized']:.2f} "
+              f"(envelope x{1 / t['threshold']:.2f}..x{t['threshold']:.2f}, "
+              f"{t['doc']}): {status}")
+        fired = fired or t["fired"]
+    if fired:
+        print("  -> a profiled-floor query left its envelope: re-open the "
+              "cited profile doc's analysis before accepting this round's "
+              "bench (adjudicate host noise first with scripts/ab_pair.py)")
+    return 1 if fired else 0
 
 
 if __name__ == "__main__":

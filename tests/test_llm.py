@@ -178,6 +178,30 @@ def test_ivf_recall_and_determinism(spark):
     assert c1 == c2
 
 
+def test_ivf_query_cells_late_binds_n_probe(spark, monkeypatch):
+    """ivf_query_cells resolves N_PROBE at CALL time, not def time
+    (ADVICE r10): a monkeypatched module global must reach callers
+    that omit nprobe — the same late-binding contract PAIR_SALTS
+    keeps in ivf_candidates. Rows per query == effective nprobe."""
+    from etl_finance_spark.llm import similarity
+    from etl_finance_spark.llm.similarity import ivf_centroids, ivf_query_cells
+
+    emb = with_unit_vec(table(spark, SF_SMOKE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = ivf_centroids(emb)
+    assert similarity.N_PROBE != 3  # the patch must actually change it
+    monkeypatch.setattr(similarity, "N_PROBE", 3)
+    per_q = (
+        ivf_query_cells(queries, cent)
+        .groupBy("qid").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_q] == [3]
+    # an explicit nprobe still wins over the global
+    explicit = ivf_query_cells(queries, cent, nprobe=1)
+    assert explicit.groupBy("qid").count().filter(
+        F.col("count") != 1).count() == 0
+
+
 def test_ivf_sample_bounded_training(spark):
     """Quantizer training is bounded by train_cap (the FAISS-style
     constant-cost index build). Invariants: (a) any cap >= corpus size

@@ -61,7 +61,7 @@ from test_scale_probe import FLOOR, HEAVY, SLACK, _timed_run
 SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
-GEN_VERSION = 2  # bump when the replica TRANSFORM changes (not just
+GEN_VERSION = 3  # bump when the replica TRANSFORM changes (not just
                  # the base fixture): the fingerprint hashes only the
                  # base table, so replicas written by an older
                  # generator must be forced to regenerate
@@ -105,6 +105,36 @@ def _base_fingerprint(name: str) -> str:
     return f"g{GEN_VERSION}:{size}:{mtime}"
 
 
+def _assert_salt_perturbs_every_segment(base, salt_col: str) -> None:
+    """The vowel rotation only perturbs vowels: a vowel-free aligned
+    SEG_K-word segment would stay verbatim across all copies and flip
+    q_span_dedup's boilerplate threshold at the probe point only — the
+    exact blind spot the salt exists to close (ADVICE r10 residual).
+    Guard at the granularity that matters (segments, cut with the same
+    expression as the query) and refuse loudly; runs once per replica
+    generation, fingerprint-cached like the replica itself."""
+    from etl_finance_spark.llm.corpus import SEG_K
+
+    w = F.split(salt_col, " ")
+    segs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(w) - 1) / SEG_K).cast("int")
+                ),
+                lambda i: F.array_join(F.slice(w, i * SEG_K + 1, SEG_K), " "),
+            )
+        ).alias("seg")
+    )
+    n_blind = segs.filter(~F.col("seg").rlike("[aeiouAEIOU]")).count()
+    assert n_blind == 0, (
+        f"{n_blind} vowel-free aligned {SEG_K}-word segment(s) in the "
+        f"base fixture: the vowel-rotation salt cannot make their "
+        f"copies distinct — pick a different per-copy text transform "
+        f"(e.g. a per-copy suffix token) before generating the probe"
+    )
+
+
 def _generate(spark) -> None:
     from etl_finance_spark import catalog
 
@@ -133,6 +163,8 @@ def _generate(spark) -> None:
                 base = catalog.table(spark, SF_BASE, name)
             else:
                 base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
+            if TEXT_SALT.get(name):
+                _assert_salt_perturbs_every_segment(base, TEXT_SALT[name])
             parts = []
             for i in range(REP):
                 p = base
@@ -141,20 +173,24 @@ def _generate(spark) -> None:
                 salt_col = TEXT_SALT.get(name)
                 if salt_col is not None and i > 0:
                     # fixed-point-free vowel rotation, distinct per copy
-                    # (rotation i of "aeiou" maps no vowel to itself for
-                    # 1 <= i <= 4); copy 0 stays byte-identical. Only 4
-                    # distinct non-identity rotations exist, so REP > 5
-                    # would reintroduce verbatim text copies (i=5 slices
-                    # to the identity; modular reuse collides copies) —
+                    # (rotation i of each case half maps no vowel to
+                    # itself for 1 <= i <= 4); copy 0 stays
+                    # byte-identical. Both case halves rotate by the
+                    # same i (ADVICE r10: lowercase-only left uppercase
+                    # vowels verbatim across copies). Only 4 distinct
+                    # non-identity rotations exist, so REP > 5 would
+                    # reintroduce verbatim text copies (i=5 slices to
+                    # the identity; modular reuse collides copies) —
                     # refuse loudly rather than go blind
                     assert 1 <= i <= 4, (
                         f"REP={REP} exceeds the vowel-rotation salt's "
                         f"capacity (max 5 copies); pick a different "
                         f"per-copy text transform before raising REP"
                     )
-                    rot = "aeiou"[i:] + "aeiou"[:i]
+                    rot = ("aeiou"[i:] + "aeiou"[:i]
+                           + "AEIOU"[i:] + "AEIOU"[:i])
                     p = p.withColumn(
-                        salt_col, F.translate(salt_col, "aeiou", rot)
+                        salt_col, F.translate(salt_col, "aeiouAEIOU", rot)
                     )
                 parts.append(p)
             rep = parts[0]

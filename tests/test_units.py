@@ -753,6 +753,33 @@ def test_bench_compare_normalizes_by_untouched_median():
     assert rz["n"] == 2 and {row["query"] for row in rz["rows"]} == {"b", "c"}
 
 
+def test_bench_compare_pinned_triggers_fire_both_directions():
+    """The IVF profiled-floor re-open condition (PROFILE_IVF_r09.md) is
+    self-executing (VERDICT r10 item 6): a watched query leaving its
+    normalized envelope in EITHER direction fires; inside the envelope
+    or absent (below floor) stays quiet."""
+    bc = _load_script("bench_compare")
+    assert set(bc.WATCH_TRIGGERS) == {"q_ann_ivf_topk", "q_ivfpq_topk"}
+
+    def result_for(norm):
+        # normalized == ratio/baseline; build rows with baseline 1.0
+        rows = [{"query": "q_ann_ivf_topk", "old": 4.0, "new": 4.0 * norm,
+                 "ratio": norm, "normalized": norm}]
+        return {"n": 1, "baseline": 1.0, "rows": rows}
+
+    # inside the envelope: present, not fired
+    t = bc.check_triggers(result_for(1.4))
+    assert [x["query"] for x in t] == ["q_ann_ivf_topk"]
+    assert not t[0]["fired"] and t[0]["doc"] == "PROFILE_IVF_r09.md"
+    # slower past threshold fires
+    assert bc.check_triggers(result_for(1.6))[0]["fired"]
+    # FASTER past 1/threshold also fires (stale floor analysis)
+    assert bc.check_triggers(result_for(0.6))[0]["fired"]
+    assert not bc.check_triggers(result_for(0.7))[0]["fired"]
+    # below-floor/absent watched queries are skipped, not crashed
+    assert bc.check_triggers({"n": 0, "baseline": 1.0, "rows": []}) == []
+
+
 def test_bench_quiet_rejects_empty_and_checks_per_run():
     """select_best on zero runs is a protocol error, not an opaque
     min() crash; check_run is the per-run fail-fast main() applies so
