@@ -49,6 +49,12 @@ HEAVY = (
     # documents-backed query — gives documents a presence on the curve
     "q_ann_lsh_topk",
     "q_span_dedup",
+    # the graph family's tripwire (r11): a threshold or orientation
+    # regression in the shared edge build shows up as an edge-set
+    # explosion that the triangle 3-way self-join amplifies — the
+    # probe's l_partkey offsets keep its graph an honest REP x of the
+    # base (see test_scale_probe3.test_replica_fidelity)
+    "q_triangle_count",
 )
 
 

@@ -13,7 +13,15 @@ column far past the original id range, so
   copy 0 only) -> candidate work should scale ~linearly with corpus;
 - lineitem: l_orderkey offsets keep baskets intact and disjoint across
   copies (no basket merging -> copurchase fan-out stays per-basket
-  quadratic but corpus-linear, exactly the property the tripwire pins);
+  quadratic but corpus-linear, exactly the property the tripwire pins),
+  AND l_partkey offsets keep the co-purchase GRAPH disjoint per copy:
+  with merged partkeys every base pair would recur once per copy, so
+  the MIN_ORDERS=2 edge threshold would pass for ALL ~1.2M distinct
+  pairs instead of ~3.6k real edges (measured at sf0.1) — the triangle
+  3-way self-join would then run on a 300x-denser graph at the probe
+  point only, the span-dedup threshold flip all over again in the
+  opposite direction. Disjoint copies give edges and triangles an
+  exact REP x scaling, pinned by test_replica_fidelity below;
 - documents: doc_id offsets (q_dedup_clusters self-caps at doc_id<500,
   so it stays flat here by design — trivially inside the envelope),
   PLUS a per-copy text salt (vowel-rotation translate on copies > 0):
@@ -61,7 +69,7 @@ from test_scale_probe import FLOOR, HEAVY, SLACK, _timed_run
 SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
-GEN_VERSION = 3  # bump when the replica TRANSFORM changes (not just
+GEN_VERSION = 4  # bump when the replica TRANSFORM changes (not just
                  # the base fixture): the fingerprint hashes only the
                  # base table, so replicas written by an older
                  # generator must be forced to regenerate
@@ -76,7 +84,7 @@ TEXT_SALT = {"documents": "text"}
 TABLES = {
     "embeddings": (("vec_id", 10_000_000),),
     "documents": (("doc_id", 10_000_000),),
-    "lineitem": (("l_orderkey", 100_000_000),),
+    "lineitem": (("l_orderkey", 100_000_000), ("l_partkey", 10_000_000)),
     "events": (("event_id", 100_000_000), ("user_id", 10_000_000)),
 }
 
@@ -215,6 +223,38 @@ def _generate(spark) -> None:
 def probe_dir(spark):
     _generate(spark)
     return PROBE_DIR
+
+
+@pytest.mark.scaleprobe
+def test_replica_fidelity(spark, probe_dir):
+    """The probe must measure the SAME work regime at REP x volume —
+    pin the two structures the replication transform exists to
+    preserve (each was, or would have been, silently broken once):
+
+    - co-purchase graph: disjoint per copy (l_partkey offsets), so
+      thresholded edges and triangles scale exactly REP x. Without the
+      offsets every base pair recurs once per copy, the MIN_ORDERS
+      threshold passes corpus-wide, and the probe graph is ~300x
+      denser than real data;
+    - span dedup: per-copy salted text keeps each copy's kept-segment
+      set isomorphic to the base (bijective per-copy transform), so
+      output rows scale exactly REP x. Verbatim copies would flip
+      SEG_MIN_DOCS corpus-wide and empty the kept stage (r10 lesson).
+    """
+    from etl_finance_spark.operators.graphs import triangle_count
+    from etl_finance_spark.plans.graph import copurchase_edges
+
+    e_base = copurchase_edges(spark, SF_BASE)
+    e_probe = copurchase_edges(spark, PROBE_DIR)
+    assert e_probe.count() == REP * e_base.count()
+    t_base = triangle_count(e_base.select("p1", "p2")).collect()[0][0]
+    t_probe = triangle_count(e_probe.select("p1", "p2")).collect()[0][0]
+    assert t_probe == REP * t_base
+
+    specs = registry.collect()
+    sd_base = specs["q_span_dedup"].fn(spark, SF_BASE).count()
+    sd_probe = specs["q_span_dedup"].fn(spark, PROBE_DIR).count()
+    assert sd_probe == REP * sd_base
 
 
 @pytest.mark.scaleprobe
