@@ -89,15 +89,29 @@ WATCH_TRIGGERS = {
 
 def check_triggers(result: dict) -> list[dict]:
     """Evaluate the pinned triggers against a compare() result. Returns
-    one record per watched query that is present among the shared
-    rows; `fired` is True when the normalized ratio leaves the
-    [1/threshold, threshold] envelope."""
+    one record per watched query, ALWAYS — a watched query absent from
+    the shared rows (renamed, dropped from a snapshot, or fallen below
+    the floor) is reported with `missing: True` and `fired: True`
+    rather than skipped, because a silently-unevaluable trigger would
+    defuse the very obligation it exists to keep alive (ADVICE r11;
+    note an IVF query dropping below the 0.5s floor would itself be a
+    >10x move that demands re-opening the profiled floor anyway).
+    `fired` is True when the normalized ratio leaves the
+    [1/threshold, threshold] envelope or the query is missing."""
     rows = {r["query"]: r for r in result["rows"]}
     out = []
     for q, (th, doc) in sorted(WATCH_TRIGGERS.items()):
         row = rows.get(q)
         if row is None:
-            continue  # below floor or absent from a snapshot
+            out.append({
+                "query": q,
+                "normalized": None,
+                "threshold": th,
+                "doc": doc,
+                "fired": True,
+                "missing": True,
+            })
+            continue
         norm = row["normalized"]
         out.append({
             "query": q,
@@ -105,6 +119,7 @@ def check_triggers(result: dict) -> list[dict]:
             "threshold": th,
             "doc": doc,
             "fired": norm > th or norm < 1.0 / th,
+            "missing": False,
         })
     return out
 
@@ -119,6 +134,13 @@ def main() -> int:
                          "session constants)")
     ap.add_argument("--top", type=int, default=6,
                     help="outliers to print per direction")
+    ap.add_argument("--watch", default="",
+                    help="comma-separated queries the PRIOR round's "
+                         "VERDICT flagged as watch items: each gets an "
+                         "explicit closed/OPEN line against the 2x "
+                         "adjudication bar, so a closure is visible in "
+                         "the output instead of only in prose "
+                         "(VERDICT r11 item 7)")
     args = ap.parse_args()
     old, new = load(args.old), load(args.new)
     po, pn = old.get("protocol"), new.get("protocol")
@@ -145,11 +167,31 @@ def main() -> int:
     for row in reversed(rows[len(rows) - n_fast:]):
         print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
               f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
+    watch = [q for q in args.watch.split(",") if q]
+    if watch:
+        rows_by_q = {row["query"]: row for row in rows}
+        print("\nprior-round watch items (2x normalized adjudication bar):")
+        for q in watch:
+            row = rows_by_q.get(q)
+            if row is None:
+                print(f"  {q:26s} not among compared rows (below floor "
+                      f"or absent) — verify by hand")
+                continue
+            norm = row["normalized"]
+            status = ("OPEN — adjudicate with scripts/ab_pair.py"
+                      if norm >= 2.0 else "closed (inside 2x)")
+            print(f"  {q:26s} normalized x{norm:.2f}: {status}")
     triggers = check_triggers(r)
     if triggers:
         print("\npinned re-open triggers:")
     fired = False
     for t in triggers:
+        if t.get("missing"):
+            print(f"  {t['query']:26s} WARNING: not among the compared "
+                  f"rows (renamed, dropped, or below --floor) — pinned "
+                  f"trigger ({t['doc']}) is NOT evaluable: FIRED")
+            fired = True
+            continue
         status = "FIRED — re-open" if t["fired"] else "ok"
         print(f"  {t['query']:26s} normalized x{t['normalized']:.2f} "
               f"(envelope x{1 / t['threshold']:.2f}..x{t['threshold']:.2f}, "

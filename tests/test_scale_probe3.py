@@ -69,10 +69,12 @@ from test_scale_probe import FLOOR, HEAVY, SLACK, _timed_run
 SF_BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/spark_graft_probe_sf03"
 REP = 3          # replication factor (probe ~ sf0.3)
-GEN_VERSION = 4  # bump when the replica TRANSFORM changes (not just
-                 # the base fixture): the fingerprint hashes only the
-                 # base table, so replicas written by an older
-                 # generator must be forced to regenerate
+GEN_VERSION = 5  # bump when the replica TRANSFORM (or its generation-
+                 # time guards) changes, not just the base fixture: the
+                 # fingerprint hashes only the base table, so replicas
+                 # written/validated by an older generator must be
+                 # forced to regenerate (v5: cross-copy segment
+                 # disjointness guard, ADVICE r11)
 
 # per-copy text-salted columns (see module docstring: span-dedup's
 # cross-doc threshold must not see verbatim copies)
@@ -141,6 +143,29 @@ def _assert_salt_perturbs_every_segment(base, salt_col: str) -> None:
         f"copies distinct — pick a different per-copy text transform "
         f"(e.g. a per-copy suffix token) before generating the probe"
     )
+    # Cross-copy collisions (ADVICE r11): test_replica_fidelity's exact
+    # sd_probe == REP * sd_base also needs that no rotated segment from
+    # copy i equals a DIFFERENT segment in copy j — such a pair would
+    # raise that value's cross-doc count and could flip SEG_MIN_DOCS at
+    # the probe point only. Rotations compose (rot_i(s) == rot_j(t)
+    # iff s == rot_{(j-i) mod 5}(t)), so every cross-copy pair reduces
+    # to a base-vs-rot_d(base) collision for some d in 1..4; an empty
+    # intersection for each d makes the per-copy segment value sets
+    # pairwise disjoint for ANY REP <= 5, not just the current 3.
+    seg_set = segs.distinct()
+    for d in range(1, 5):
+        rot = ("aeiou"[d:] + "aeiou"[:d] + "AEIOU"[d:] + "AEIOU"[:d])
+        rotated = seg_set.select(
+            F.translate("seg", "aeiouAEIOU", rot).alias("seg")
+        )
+        n_coll = seg_set.join(rotated, "seg", "left_semi").count()
+        assert n_coll == 0, (
+            f"{n_coll} base segment(s) collide with a vowel-rotation-"
+            f"{d} image of another base segment: copies {d} apart "
+            f"would share verbatim segment values, breaking the exact "
+            f"REP x span-dedup scaling test_replica_fidelity pins — "
+            f"pick a different per-copy text transform"
+        )
 
 
 def _generate(spark) -> None:
@@ -240,6 +265,13 @@ def test_replica_fidelity(spark, probe_dir):
       set isomorphic to the base (bijective per-copy transform), so
       output rows scale exactly REP x. Verbatim copies would flip
       SEG_MIN_DOCS corpus-wide and empty the kept stage (r10 lesson).
+      The exact equality below additionally needs the per-copy segment
+      value sets pairwise DISJOINT (a rotated segment colliding with a
+      different base segment would raise that value's cross-doc count
+      at the probe point only); _assert_salt_perturbs_every_segment
+      now verifies this at generation time via the base-vs-rot_d(base)
+      reduction (ADVICE r11), so a base-fixture change that introduces
+      such a collision fails loudly at generation, not spuriously here.
     """
     from etl_finance_spark.operators.graphs import triangle_count
     from etl_finance_spark.plans.graph import copurchase_edges

@@ -756,28 +756,36 @@ def test_bench_compare_normalizes_by_untouched_median():
 def test_bench_compare_pinned_triggers_fire_both_directions():
     """The IVF profiled-floor re-open condition (PROFILE_IVF_r09.md) is
     self-executing (VERDICT r10 item 6): a watched query leaving its
-    normalized envelope in EITHER direction fires; inside the envelope
-    or absent (below floor) stays quiet."""
+    normalized envelope in EITHER direction fires; a watched query
+    ABSENT from the compared rows also fires, reported `missing`, so a
+    rename/drop/floor change cannot silently defuse the pinned trigger
+    (ADVICE r11)."""
     bc = _load_script("bench_compare")
     assert set(bc.WATCH_TRIGGERS) == {"q_ann_ivf_topk", "q_ivfpq_topk"}
 
-    def result_for(norm):
+    def result_for(norm, query="q_ann_ivf_topk"):
         # normalized == ratio/baseline; build rows with baseline 1.0
-        rows = [{"query": "q_ann_ivf_topk", "old": 4.0, "new": 4.0 * norm,
+        rows = [{"query": query, "old": 4.0, "new": 4.0 * norm,
                  "ratio": norm, "normalized": norm}]
         return {"n": 1, "baseline": 1.0, "rows": rows}
 
-    # inside the envelope: present, not fired
+    # every watched query is ALWAYS reported (sorted by name); the one
+    # absent from the rows is missing+fired, the present one evaluates
     t = bc.check_triggers(result_for(1.4))
-    assert [x["query"] for x in t] == ["q_ann_ivf_topk"]
-    assert not t[0]["fired"] and t[0]["doc"] == "PROFILE_IVF_r09.md"
+    assert [x["query"] for x in t] == ["q_ann_ivf_topk", "q_ivfpq_topk"]
+    assert not t[0]["fired"] and not t[0]["missing"]
+    assert t[0]["doc"] == "PROFILE_IVF_r09.md"
+    assert t[1]["missing"] and t[1]["fired"] and t[1]["normalized"] is None
     # slower past threshold fires
     assert bc.check_triggers(result_for(1.6))[0]["fired"]
     # FASTER past 1/threshold also fires (stale floor analysis)
     assert bc.check_triggers(result_for(0.6))[0]["fired"]
     assert not bc.check_triggers(result_for(0.7))[0]["fired"]
-    # below-floor/absent watched queries are skipped, not crashed
-    assert bc.check_triggers({"n": 0, "baseline": 1.0, "rows": []}) == []
+    # an empty compare reports BOTH watched queries as missing+fired —
+    # the unevaluable-trigger case the r11 advice closed
+    empty = bc.check_triggers({"n": 0, "baseline": 1.0, "rows": []})
+    assert len(empty) == 2 and all(x["missing"] and x["fired"]
+                                   for x in empty)
 
 
 def test_bench_quiet_rejects_empty_and_checks_per_run():
