@@ -76,72 +76,69 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-11 composition (exactly 50, derived by `python
-# scripts/plan_window.py --recheck q_cosine_topk,q_ann_lsh_topk,
-# q_ann_ivf_topk,q_embed_neardup,q_embed_join,q_semantic_dedup,
-# q_ivfpq_topk` from CORRECTNESS_r01-r10): 1 flagship; 0 reds
-# (cumulative ledger zero-red since r06); 7 changed-file re-checks
-# (every query registered in llm/similarity.py + its pq.py consumer —
-# ivf_query_cells's nprobe default moved to late-bound N_PROBE
-# resolution, ADVICE r10); 0 never-checked; then the STALENESS FILL —
-# all 34 remaining r06-evidence queries plus the 8 oldest r07 queries,
-# oldest round then registration order. After this round no query's
-# driver evidence is older than r07.
+# Round-12 composition (exactly 50, derived by `python
+# scripts/plan_window.py` from CORRECTNESS_r01-r11): 1 flagship; 0
+# reds (cumulative ledger zero-red since r06); 0 changed-file
+# re-checks (round 12's only source changes are dev scripts and
+# tests — no engine module changed, so no query's behavior could
+# move); 0 never-checked; then the STALENESS FILL — all 40 remaining
+# r07-evidence queries plus the 9 oldest r08 queries, oldest round
+# then registration order. After this round no query's driver
+# evidence is older than r08.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks: ivf_query_cells N_PROBE late binding
-    "q_cosine_topk",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embed_neardup",
-    "q_embed_join",
-    "q_semantic_dedup",
-    "q_ivfpq_topk",
-    # staleness fill: r06 evidence (34), registration order
-    "q_bool_aggs",
-    "q_bitmap_distinct",
-    "q_multimodal_meta",
-    "q_dedup_clusters",
-    "q_repetition_score",
-    "q_stream_pair_outer",
-    "q_select_exprs",
-    "q_cohort_retention",
-    "q_win_rownum",
-    "q_scan_parquet",
-    "q_join_range",
-    "q_priority_wait",
-    "q_pack_contexts",
-    "q_domain_mix",
-    "q_decontaminate",
-    "q_source_cap",
-    "q_span_dedup",
-    "q_pii_redact",
-    "q_chunk_windows",
-    "q_array_agg_distinct",
-    "q_corpus_stats",
-    "q_event_transitions",
-    "q_pricing_summary",
-    "q_sessionize_gaps",
-    "q_embed_standardize",
-    "q_drawdown",
-    "q_vwap",
-    "q_hll_distinct",
-    "q_variant_get",
-    "q_python_datasource",
-    "q_recursive_bfs",
-    "q_frequent_items",
-    "q_rollup_merge",
-    "q_backfill_partitions",
-    # staleness fill: oldest r07 evidence (8)
-    "q_jaccard_pairs",
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_jaccard_prefix",
-    "q_docs_by_lang",
-    "q_term_freq",
-    "q_lang_id",
+    # staleness fill: r07 evidence (40), registration order
+    "q_text_quality",
+    "q_token_count",
+    "q_edit_distance",
+    "q_tfidf",
+    "q_fingerprint",
+    "q_win_rank",
+    "q_win_running_sum",
+    "q_win_moving_avg",
+    "q_win_ntile",
+    "q_union_all",
+    "q_add_literal",
+    "q_project_drop",
+    "q_project_rename",
+    "q_filter_isin",
+    "q_filter_nonempty",
+    "q_coalesce",
+    "q_cast",
+    "q_date_format",
+    "q_unix_ts",
+    "q_multi_format_ts",
+    "q_month_seq",
+    "q_lower",
+    "q_array_transform",
+    "q_array_field",
+    "q_to_json",
+    "q_json_get",
+    "q_from_json",
+    "q_stats_agg",
+    "q_dedup_keys",
+    "q_join_anti",
+    "q_filter_range",
+    "q_case_when",
+    "q_fillna_mean",
+    "q_pct_change_lag",
+    "q_join_outer",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_cross",
+    "q_join_asof",
+    # staleness fill: oldest r08 evidence (9)
+    "q_split_deterministic",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_gap_fill",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query
