@@ -788,6 +788,48 @@ def test_bench_compare_pinned_triggers_fire_both_directions():
                                    for x in empty)
 
 
+def test_bench_compare_main_missing_trigger_and_watch(monkeypatch, capsys):
+    """main()-level pins for the r11 advice and the r12 --watch flag:
+    a WATCH_TRIGGERS query absent from the compared rows produces a
+    visible WARNING and a nonzero exit (a rename/drop/floor change
+    must not silently defuse a pinned trigger), and --watch prints an
+    explicit closed/OPEN line per prior-round watch item."""
+    import sys
+
+    bc = _load_script("bench_compare")
+
+    def snapshots(queries_old, queries_new):
+        proto = {"runs": 3}
+        return ({"protocol": proto, "queries": queries_old},
+                {"protocol": proto, "queries": queries_new})
+
+    # neither IVF query present -> both triggers missing -> exit 1
+    old, new = snapshots({"a": 1.0, "b": 2.0}, {"a": 1.0, "b": 2.0})
+    store = {"rOLD": old, "rNEW": new}
+    monkeypatch.setattr(bc, "load", lambda tag: store[tag])
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", "rOLD", "rNEW"])
+    assert bc.main() == 1
+    out = capsys.readouterr().out
+    assert "WARNING: not among the compared rows" in out
+    assert "q_ann_ivf_topk" in out and "q_ivfpq_topk" in out
+
+    # both present inside envelope -> exit 0; --watch classifies a
+    # present item against the 2x bar and hand-flags an absent one
+    old, new = snapshots(
+        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.0},
+        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.1},
+    )
+    store.update({"rOLD": old, "rNEW": new})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_compare.py", "rOLD", "rNEW", "--watch", "w1,w_gone"])
+    assert bc.main() == 0
+    out = capsys.readouterr().out
+    assert "prior-round watch items" in out
+    assert "closed (inside 2x)" in out          # w1 at x1.1 normalized-ish
+    assert "not among compared rows" in out      # w_gone
+
+
 def test_bench_quiet_rejects_empty_and_checks_per_run():
     """select_best on zero runs is a protocol error, not an opaque
     min() crash; check_run is the per-run fail-fast main() applies so
