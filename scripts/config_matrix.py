@@ -29,6 +29,18 @@ AXES = {
     "parts": {"spark.sql.shuffle.partitions": "5"},
     "splits": {"spark.sql.files.maxPartitionBytes": "1m",
                "spark.sql.files.openCostInBytes": "0"},
+    # join-strategy independence (r12): auto-broadcast disabled flips
+    # every non-hinted dim join to sort-merge/shuffle-hash — results
+    # must not ride on the planner's broadcast pick (explicit
+    # broadcast() hints are unaffected by the threshold and still
+    # broadcast, which is the other half of the claim)
+    "broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # Arrow batch-boundary hazards (r12): 7-row batches force every
+    # mapInPandas/applyInPandas/pandas_udf operator to see many tiny
+    # batches per partition — a per-batch assumption that should be
+    # per-partition (dedup state, partial aggregates, frame windows)
+    # diverges immediately under this axis
+    "arrowbatch": {"spark.sql.execution.arrow.maxRecordsPerBatch": "7"},
 }
 
 _RUNNER = r"""

@@ -538,6 +538,40 @@ def test_results_do_not_depend_on_shuffle_partition_count(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_results_do_not_depend_on_auto_broadcast(spark):
+    """Deployment knob seven (r12): autoBroadcastJoinThreshold=-1 flips
+    every non-hinted dim join from broadcast-hash to sort-merge or
+    shuffle-hash — a cluster tuned for memory-tight executors runs
+    exactly this way. Results must be identical under either join
+    strategy, and the explicitly-hinted broadcast queries must be
+    unaffected by the threshold (the hint overrides it). Sensitive
+    shapes: the auto-broadcastable dim joins, the broadcast-agg mean
+    imputation, the broadcast-eval-grams decontamination, and the
+    range/as-of composites whose inner build side the planner chooses.
+    (A full 220-query differential with the threshold at -1 ran green
+    offline — CONFIG_MATRIX_r12.md; this pins the subset.)"""
+    names = ("q_join_inner", "q_join_broadcast", "q_join_range",
+             "q_join_asof", "q_fillna_mean", "q_decontaminate")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges with auto-broadcast disabled"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
 def test_results_do_not_depend_on_session_timezone(spark):
     """Deployment knob three: a cluster whose session default is not
     UTC must not change any timestamp-derived answer. catalog.table
@@ -685,11 +719,12 @@ def test_results_do_not_depend_on_arrow_batch_size(spark):
     whose boundaries ride spark.sql.execution.arrow.maxRecordsPerBatch
     — state carried across batches (the UDAF partials, the
     frequent-items accumulation, the multimodal per-row decode) must
-    make batch boundaries invisible in the rows. (A full 214-query
-    differential at maxRecordsPerBatch=7 ran green offline; this pins
-    the pandas-path subset plus the frequent-items library op, whose
-    cross-batch count accumulation is exactly what tiny batches
-    stress.)"""
+    make batch boundaries invisible in the rows. (Full-width
+    differentials ran green offline, since r12 as the formal
+    `arrowbatch` axis of scripts/config_matrix.py — CONFIG_MATRIX_r12
+    — over all 220 queries; this pins the pandas-path subset plus the
+    frequent-items library op, whose cross-batch count accumulation is
+    exactly what tiny batches stress.)"""
     names = ("q_udaf_weighted_avg", "q_udf_pandas",
              "q_multimodal_features", "q_multimodal_frames")
     from etl_finance_spark import registry
