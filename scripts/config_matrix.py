@@ -41,6 +41,12 @@ AXES = {
     # per-partition (dedup state, partial aggregates, frame windows)
     # diverges immediately under this axis
     "arrowbatch": {"spark.sql.execution.arrow.maxRecordsPerBatch": "7"},
+    # scan-decode independence (r12): the row-based parquet reader is
+    # the documented fallback on clusters that hit vectorized-reader
+    # bugs (nested schemas, rare decimal/timestamp encodings) — every
+    # answer must survive the decode-path swap, especially the
+    # nanos-timestamp events read catalog.table normalizes
+    "vecreader": {"spark.sql.parquet.enableVectorizedReader": "false"},
 }
 
 _RUNNER = r"""

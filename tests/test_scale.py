@@ -572,6 +572,42 @@ def test_results_do_not_depend_on_auto_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
 
+def test_results_do_not_depend_on_vectorized_reader(spark):
+    """Deployment knob eight (r12): the parquet decode path. Clusters
+    disable the vectorized reader as the standard workaround for
+    nested-schema/encoding bugs, swapping every scan onto the
+    row-based parquet-mr path — which decodes timestamps, decimals,
+    and dictionary pages through entirely different code. Sensitive
+    shapes: the raw scan itself, the nanos-timestamp events reads that
+    catalog.table normalizes (the repo's one known physical-layout
+    special case), epoch/multi-format timestamp parsing downstream of
+    a scan, and a wide-scan aggregate. (A full 220-query differential
+    with the reader off ran green offline — the `vecreader` axis of
+    scripts/config_matrix.py, CONFIG_MATRIX_r12.md; this pins the
+    subset.)"""
+    names = ("q_scan_parquet", "q_pct_change_hourly", "q_unix_ts",
+             "q_multi_format_ts", "q_agg_groupby")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges on the row-based parquet reader"
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.enableVectorizedReader", before)
+
+
 def test_results_do_not_depend_on_session_timezone(spark):
     """Deployment knob three: a cluster whose session default is not
     UTC must not change any timestamp-derived answer. catalog.table
