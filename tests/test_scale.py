@@ -572,6 +572,41 @@ def test_results_do_not_depend_on_auto_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
 
+def test_results_do_not_depend_on_codegen(spark):
+    """Deployment knob nine (r12, closing an old gap: this axis had
+    full-width offline sweeps since r08 but no in-suite pin): with
+    whole-stage codegen off, every expression evaluates on the
+    interpreted path instead of generated Java — a cluster flips this
+    to dodge a codegen bug or the 64KB method limit on very wide
+    plans. Sensitive shapes: the expression-densest families (HOF
+    array pipelines, string/math scalar batteries, conditional
+    casework) and a window chain whose frame arithmetic all runs in
+    generated code. (Full 220-query differentials with
+    codegen.wholeStage=false ran green offline every sweep since
+    CONFIG_MATRIX_r08; this pins the subset in-suite like every other
+    axis.)"""
+    names = ("q_array_funcs", "q_str_funcs", "q_math_funcs",
+             "q_case_when", "q_win_moving_avg")
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], (
+                f"{n} diverges on the interpreted expression path"
+            )
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", before)
+
+
 def test_results_do_not_depend_on_vectorized_reader(spark):
     """Deployment knob eight (r12): the parquet decode path. Clusters
     disable the vectorized reader as the standard workaround for

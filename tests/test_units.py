@@ -830,6 +830,42 @@ def test_bench_compare_main_missing_trigger_and_watch(monkeypatch, capsys):
     assert "not among compared rows" in out      # w_gone
 
 
+def test_every_matrix_axis_has_a_pinned_subset():
+    """Self-executing policy (r12): every axis in
+    scripts/config_matrix.py must have an in-suite sensitive-subset
+    test in tests/test_scale.py, and vice versa. The matrix sweep is
+    offline evidence regenerated per round; the pinned subsets are
+    what CI actually runs — an axis without a pin (codegen was one
+    for four rounds) or a pin whose axis was dropped means the two
+    layers of the deployment-robustness claim have drifted apart."""
+    import test_scale
+
+    cm = _load_script("config_matrix")
+    pinned = {
+        "aqe": "test_results_do_not_depend_on_aqe",
+        "ansi": "test_results_do_not_depend_on_ansi_mode",
+        "codegen": "test_results_do_not_depend_on_codegen",
+        "tz": "test_results_do_not_depend_on_session_timezone",
+        "parts": "test_results_do_not_depend_on_shuffle_partition_count",
+        "splits": "test_results_do_not_depend_on_input_split_size",
+        "broadcast": "test_results_do_not_depend_on_auto_broadcast",
+        "arrowbatch": "test_results_do_not_depend_on_arrow_batch_size",
+        "vecreader": "test_results_do_not_depend_on_vectorized_reader",
+    }
+    assert set(pinned) == set(cm.AXES), (
+        "config_matrix.AXES and the pinned-subset map have drifted: "
+        f"axes without a pin {sorted(set(cm.AXES) - set(pinned))}, "
+        f"pins without an axis {sorted(set(pinned) - set(cm.AXES))} — "
+        "add the matching test_scale.py test (or remove the stale pin) "
+        "and update this map"
+    )
+    for axis, fn_name in pinned.items():
+        assert callable(getattr(test_scale, fn_name, None)), (
+            f"axis '{axis}' names pinned test {fn_name}, which does "
+            f"not exist in tests/test_scale.py"
+        )
+
+
 def test_bench_quiet_rejects_empty_and_checks_per_run():
     """select_best on zero runs is a protocol error, not an opaque
     min() crash; check_run is the per-run fail-fast main() applies so
