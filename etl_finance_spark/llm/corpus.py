@@ -45,19 +45,26 @@ PER_SOURCE_CAP = 3
     """,
 )
 def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_contexts(table(spark, sf_dir, "documents"))
+
+
+def pack_contexts(docs: DataFrame, n_shards: int = N_SHARDS,
+                  ctx_len: int = CTX_LEN) -> DataFrame:
     """Concat-then-chunk context packing — the layout step that turns a
     deduped corpus into fixed-length training windows: docs concatenate
     in doc_id order within a shard and the token stream chunks every
-    CTX_LEN tokens (docs may straddle a boundary, exactly like the
+    ctx_len tokens (docs may straddle a boundary, exactly like the
     standard pack-and-chunk dataloader). The cumulative offset is a
     running sum per shard — partitioned window, so the sort is per-shard
     and the whole layout computes in one shuffle at any scale (shard =
     the file/partition being packed; 64 here, thousands at 100 TB).
-    Pure integer arithmetic end-to-end: EXACT oracle."""
-    docs = table(spark, sf_dir, "documents")
+    Pure integer arithmetic end-to-end: EXACT oracle.
+
+    Library form (r13): shared by q_pack_contexts and the 50k-doc
+    alignment-seam scaleprobe (tests/test_scale_smoke.py)."""
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        (F.col("doc_id") % n_shards).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     w = (
@@ -68,8 +75,8 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return c.select(
         "doc_id", "shard", "n_tokens", "off",
-        F.expr(f"off DIV {CTX_LEN}").alias("chunk_id"),
-        (F.col("off") % CTX_LEN).alias("chunk_pos"),
+        F.expr(f"off DIV {ctx_len}").alias("chunk_id"),
+        (F.col("off") % ctx_len).alias("chunk_pos"),
     )
 
 
@@ -230,9 +237,14 @@ CHUNK_STRIDE = 24  # chunk start stride (CHUNK_LEN - overlap)
     """,
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dedup(table(spark, sf_dir, "documents"))
+
+
+def span_dedup(docs: DataFrame, seg_k: int = SEG_K,
+               min_docs: int = SEG_MIN_DOCS) -> DataFrame:
     """Boilerplate-span removal — the RefinedWeb/CCNet line-level dedup
-    re-cut onto aligned SEG_K-word segments (fixture docs carry no
-    newlines): any exact segment appearing in >= SEG_MIN_DOCS distinct
+    re-cut onto aligned seg_k-word segments (fixture docs carry no
+    newlines): any exact segment appearing in >= min_docs distinct
     docs corpus-wide (headers, footers, license banners at web scale)
     is stripped from every doc, and the survivors re-join in order.
     Three shuffles, all on bounded keys: segment -> distinct-doc count
@@ -242,24 +254,27 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (idx, seg) structs), not via a window — no per-doc sort pass.
     Docs that are 100% boilerplate drop out (inner semantics, both
     engines). At 100 TB the common-set is tiny by definition (segments
-    repeated across docs) and broadcasts."""
-    docs = table(spark, sf_dir, "documents")
+    repeated across docs) and broadcasts.
+
+    Library form (r13): shared by q_span_dedup and the 50k-doc
+    alignment-seam scaleprobe (tests/test_scale_smoke.py), which pins
+    the aligned-vs-straddling boilerplate semantics at scale."""
     w = F.split("text", " ")
     segs = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.floor((F.size(w) - 1) / SEG_K).cast("int")
+                    F.lit(0), F.floor((F.size(w) - 1) / seg_k).cast("int")
                 ),
-                lambda i: F.array_join(F.slice(w, i * SEG_K + 1, SEG_K), " "),
+                lambda i: F.array_join(F.slice(w, i * seg_k + 1, seg_k), " "),
             )
         ).alias("idx", "seg"),
     )
     common = (
         segs.groupBy("seg")
         .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= SEG_MIN_DOCS)
+        .filter(F.col("nd") >= min_docs)
         .select("seg")
     )
     totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))

@@ -34,8 +34,26 @@ from etl_finance_spark.registry import register
 
 N_MINHASH = 32
 BAND_ROWS = 2  # 16 bands of 2 rows: P(candidate | j=0.6) ≈ 0.999
+BAND_ROWS_WIDE = 4  # 8 bands of 4 rows: the measured 50k-doc setting
+BAND_ROWS_WIDEN_DOCS = 10_000  # corpus size where the knob auto-widens
 JACCARD_TAU = 0.8
 DOC_CAP = 500  # exact-pair rungs bound their candidate set
+
+
+def derive_band_rows(n_docs: int) -> int:
+    """Corpus-size-derived LSH precision knob (VERDICT r12 item 6).
+
+    Rows-per-band trades recall against the false-candidate floor: a
+    pair with Jaccard j collides per band with P ≈ j^band_rows, so any
+    corpus with nonzero BASELINE similarity has a false-candidate term
+    quadratic in corpus size at band_rows=2. Below
+    BAND_ROWS_WIDEN_DOCS the quadratic term is bounded by the corpus
+    itself and recall-first band_rows=2 wins; at or above it the
+    measured 50k-doc point applies (band_rows=4: candidates collapse
+    98,813 → 504 at 99.6% planted recall — test_scale_smoke.py), and
+    band_rows=8 is documented over-pruning (57% recall), so the ladder
+    stops at 4."""
+    return BAND_ROWS if n_docs < BAND_ROWS_WIDEN_DOCS else BAND_ROWS_WIDE
 
 
 def _token_set(text: Column) -> Column:
@@ -202,7 +220,7 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_MINHASH,
 
 def minhash_lsh_pairs(docs: DataFrame, tau: float,
                       n_hashes: int = N_MINHASH,
-                      band_rows: int = BAND_ROWS) -> DataFrame:
+                      band_rows: int | None = None) -> DataFrame:
     """Rung 3 end-to-end: LSH candidates → exact Jaccard verification.
 
     The verification join re-derives token sets only for candidate
@@ -217,9 +235,16 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float,
     pairs sharing one token (tests/test_scale_smoke.py): band_rows=2 →
     98 813 candidates (the false-positive floor), band_rows=4 → 504
     candidates at 498/500 planted recall, band_rows=8 → over-pruned
-    (57% recall). The default stays 2 (recall-first on the small
-    fixtures); widen to 4 as the corpus — and its baseline similarity
-    — grows."""
+    (57% recall).
+
+    The default (band_rows=None) is therefore DERIVED from corpus size
+    via `derive_band_rows`: 2 below 10k docs (recall-first; the
+    quadratic term is bounded), 4 at or above (the measured scale
+    setting). The derivation costs one column-pruned count() job —
+    metadata-only on parquet sources — which is the standard price of a
+    size-based plan decision; pass an explicit band_rows to skip it."""
+    if band_rows is None:
+        band_rows = derive_band_rows(docs.count())
     sigs = minhash_signatures(docs, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, band_rows)
     # three consumers (sizes + both exact-verify sides): tokenize once

@@ -76,69 +76,76 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-12 composition (exactly 50, derived by `python
-# scripts/plan_window.py` from CORRECTNESS_r01-r11): 1 flagship; 0
-# reds (cumulative ledger zero-red since r06); 0 changed-file
-# re-checks (round 12's only source changes are dev scripts and
-# tests — no engine module changed, so no query's behavior could
-# move); 0 never-checked; then the STALENESS FILL — all 40 remaining
-# r07-evidence queries plus the 9 oldest r08 queries, oldest round
-# then registration order. After this round no query's driver
-# evidence is older than r08.
+# Round-13 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_minhash_lsh,q_pack_contexts,
+# q_span_dedup` from CORRECTNESS_r01-r12): 1 flagship; 0 reds
+# (cumulative ledger zero-red since r06); 3 changed-file re-checks
+# (llm/dedup.py grew the corpus-size-derived band_rows default on
+# minhash_lsh_pairs — q_minhash_lsh now takes the derivation path,
+# landing on the same band_rows=2 at its 500-doc cap; llm/corpus.py's
+# q_pack_contexts/q_span_dedup were refactored into library forms for
+# the 50k-doc alignment-seam scaleprobes — behavior-preserving, so
+# the re-check is the proof); 0 never-checked; then the STALENESS
+# FILL — all 33 remaining r08-evidence queries (the q_agg_* family,
+# q_udf_pandas, q_incremental_ingest, q_corpus_prep, the sampling/
+# multimodal/scalar-family stragglers) plus the 13 oldest r09
+# queries, oldest round then registration order. After this round no
+# query's driver evidence is older than r09.
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # staleness fill: r07 evidence (40), registration order
-    "q_text_quality",
-    "q_token_count",
-    "q_edit_distance",
-    "q_tfidf",
-    "q_fingerprint",
-    "q_win_rank",
-    "q_win_running_sum",
-    "q_win_moving_avg",
-    "q_win_ntile",
-    "q_union_all",
-    "q_add_literal",
-    "q_project_drop",
-    "q_project_rename",
-    "q_filter_isin",
-    "q_filter_nonempty",
-    "q_coalesce",
-    "q_cast",
-    "q_date_format",
-    "q_unix_ts",
-    "q_multi_format_ts",
-    "q_month_seq",
-    "q_lower",
-    "q_array_transform",
-    "q_array_field",
-    "q_to_json",
-    "q_json_get",
-    "q_from_json",
-    "q_stats_agg",
-    "q_dedup_keys",
-    "q_join_anti",
-    "q_filter_range",
-    "q_case_when",
-    "q_fillna_mean",
-    "q_pct_change_lag",
-    "q_join_outer",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_cross",
-    "q_join_asof",
-    # staleness fill: oldest r08 evidence (9)
-    "q_split_deterministic",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_gap_fill",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_pivot",
-    "q_unpivot",
+    # changed-file re-checks (3)
+    "q_minhash_lsh",
+    "q_pack_contexts",
+    "q_span_dedup",
+    # staleness fill: r08 evidence (33), registration order
+    "q_posexplode",
+    "q_regexp_replace",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_exists_subquery",
+    "q_correlated_scalar",
+    "q_udf_pandas",
+    "q_udaf_weighted_avg",
+    "q_agg_groupby",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_approx_distinct",
+    "q_histogram",
+    "q_latest_per_key",
+    "q_skew_distinct",
+    "q_agg_grouping_id",
+    "q_median_by_group",
+    "q_corr_covar",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_corpus_prep",
+    "q_stratified_sample",
+    "q_weighted_sample",
+    "q_lexical_diversity",
+    "q_stream_pair_join",
+    "q_funnel",
+    "q_string_agg",
+    "q_rolling_active_users",
+    "q_snapshot_diff",
+    "q_incremental_ingest",
+    # staleness fill: oldest r09 evidence (13)
+    "q_nullif_coalesce",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_try_cast",
+    "q_array_funcs2",
+    "q_bitwise",
+    "q_greatest_least",
+    "q_str_pad",
+    "q_map_funcs",
+    "q_array_hof3",
+    "q_map_funcs2",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query

@@ -167,7 +167,9 @@ def main() -> int:
     for row in reversed(rows[len(rows) - n_fast:]):
         print(f"  {row['query']:26s} {row['old']:6.2f} -> {row['new']:6.2f}"
               f"  x{row['ratio']:.2f}  normalized x{row['normalized']:.2f}")
-    watch = [q for q in args.watch.split(",") if q]
+    # strip per-item whitespace so `--watch q1, q2` matches q2 instead of
+    # silently printing the misleading absent-row line (ADVICE r12)
+    watch = [q.strip() for q in args.watch.split(",") if q.strip()]
     if watch:
         rows_by_q = {row["query"]: row for row in rows}
         print("\nprior-round watch items (2x normalized adjudication bar):")
@@ -178,8 +180,13 @@ def main() -> int:
                       f"or absent) — verify by hand")
                 continue
             norm = row["normalized"]
-            status = ("OPEN — adjudicate with scripts/ab_pair.py"
-                      if norm >= 2.0 else "closed (inside 2x)")
+            # two-sided like the pinned triggers (ADVICE r12): a dramatic
+            # unexplained speedup (x0.5) can also mean a measurement or
+            # behavior change and deserves the same ab_pair adjudication
+            if norm >= 2.0 or norm <= 0.5:
+                status = "OPEN — adjudicate with scripts/ab_pair.py"
+            else:
+                status = "closed (inside x0.50..x2.00)"
             print(f"  {q:26s} normalized x{norm:.2f}: {status}")
     triggers = check_triggers(r)
     if triggers:

@@ -449,6 +449,36 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
     )
 
 
+def _assert_conf_invariant(spark, confs, names, label, expect_before=None):
+    """Shared scaffold for the deployment-knob invariance tests
+    (ADVICE r12: one helper instead of per-test copies of the
+    snapshot/flip/restore dance, so future axes are one-liners and the
+    restore logic cannot drift). Snapshots every query in `names` under
+    the session defaults, flips every conf in `confs`, re-evaluates, and
+    restores the prior values in a finally. `expect_before` pins the
+    session default for axes whose claim depends on it (aqe/ansi)."""
+    from etl_finance_spark import registry
+
+    specs = registry.collect()
+
+    def snapshot(name):
+        df = specs[name].fn(spark, SF_SMOKE)
+        return sorted(map(str, df.collect()))
+
+    baseline = {n: snapshot(n) for n in names}
+    before = {k: spark.conf.get(k) for k in confs}
+    for k, v in (expect_before or {}).items():
+        assert before[k] == v, f"session default for {k} is not {v!r}"
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for n in names:
+            assert snapshot(n) == baseline[n], f"{n} diverges {label}"
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+
+
 def test_results_do_not_depend_on_aqe(spark):
     """AQE is a performance feature, not a correctness crutch: the
     shuffle-heaviest shapes (salted candidate joins, two-phase skew
@@ -458,24 +488,14 @@ def test_results_do_not_depend_on_aqe(spark):
     split or coalescing for a dedup boundary) would break on any
     cluster that tunes AQE differently. (A full 214-query AQE-off
     differential ran green offline; this pins the sensitive subset.)"""
-    names = ("q_skew_distinct", "q_copurchase_pairs", "q_dedup_clusters",
-             "q_join_asof_events", "q_minhash_lsh")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    on = {n: snapshot(n) for n in names}
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for n in names:
-            assert snapshot(n) == on[n], f"{n} diverges with AQE off"
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.adaptive.enabled": "false"},
+        ("q_skew_distinct", "q_copurchase_pairs", "q_dedup_clusters",
+         "q_join_asof_events", "q_minhash_lsh"),
+        "with AQE off",
+        expect_before={"spark.sql.adaptive.enabled": "true"},
+    )
 
 
 def test_results_do_not_depend_on_ansi_mode(spark):
@@ -486,24 +506,14 @@ def test_results_do_not_depend_on_ansi_mode(spark):
     (try_divide, try_cast, explicit formats) exists precisely so no
     result ever rides on the error-vs-null edge. (A full 214-query
     ansi-off differential ran green offline; this pins the subset.)"""
-    names = ("q_cast", "q_try_cast", "q_multi_format_ts", "q_unix_ts",
-             "q_date_funcs", "q_nullif_coalesce")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    on = {n: snapshot(n) for n in names}
-    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    try:
-        for n in names:
-            assert snapshot(n) == on[n], f"{n} diverges with ansi off"
-    finally:
-        spark.conf.set("spark.sql.ansi.enabled", "true")
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.ansi.enabled": "false"},
+        ("q_cast", "q_try_cast", "q_multi_format_ts", "q_unix_ts",
+         "q_date_funcs", "q_nullif_coalesce"),
+        "with ansi off",
+        expect_before={"spark.sql.ansi.enabled": "true"},
+    )
 
 
 def test_results_do_not_depend_on_shuffle_partition_count(spark):
@@ -516,26 +526,13 @@ def test_results_do_not_depend_on_shuffle_partition_count(spark):
     differential at cpus=7 / shuffle.partitions=5 — odd and
     non-divisible by any fixture cardinality — ran green offline; this
     pins the subset.)"""
-    names = ("q_skew_distinct", "q_agg_collect_sorted", "q_dedup_clusters",
-             "q_minhash_lsh", "q_split_deterministic", "q_topk")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    baseline = {n: snapshot(n) for n in names}
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "5")
-    try:
-        for n in names:
-            assert snapshot(n) == baseline[n], (
-                f"{n} diverges at 5 shuffle partitions"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.shuffle.partitions": "5"},
+        ("q_skew_distinct", "q_agg_collect_sorted", "q_dedup_clusters",
+         "q_minhash_lsh", "q_split_deterministic", "q_topk"),
+        "at 5 shuffle partitions",
+    )
 
 
 def test_results_do_not_depend_on_auto_broadcast(spark):
@@ -550,26 +547,13 @@ def test_results_do_not_depend_on_auto_broadcast(spark):
     range/as-of composites whose inner build side the planner chooses.
     (A full 220-query differential with the threshold at -1 ran green
     offline — CONFIG_MATRIX_r12.md; this pins the subset.)"""
-    names = ("q_join_inner", "q_join_broadcast", "q_join_range",
-             "q_join_asof", "q_fillna_mean", "q_decontaminate")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    baseline = {n: snapshot(n) for n in names}
-    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        for n in names:
-            assert snapshot(n) == baseline[n], (
-                f"{n} diverges with auto-broadcast disabled"
-            )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        ("q_join_inner", "q_join_broadcast", "q_join_range",
+         "q_join_asof", "q_fillna_mean", "q_decontaminate"),
+        "with auto-broadcast disabled",
+    )
 
 
 def test_results_do_not_depend_on_codegen(spark):
@@ -585,26 +569,13 @@ def test_results_do_not_depend_on_codegen(spark):
     codegen.wholeStage=false ran green offline every sweep since
     CONFIG_MATRIX_r08; this pins the subset in-suite like every other
     axis.)"""
-    names = ("q_array_funcs", "q_str_funcs", "q_math_funcs",
-             "q_case_when", "q_win_moving_avg")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    baseline = {n: snapshot(n) for n in names}
-    before = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        for n in names:
-            assert snapshot(n) == baseline[n], (
-                f"{n} diverges on the interpreted expression path"
-            )
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", before)
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.codegen.wholeStage": "false"},
+        ("q_array_funcs", "q_str_funcs", "q_math_funcs",
+         "q_case_when", "q_win_moving_avg"),
+        "on the interpreted expression path",
+    )
 
 
 def test_results_do_not_depend_on_vectorized_reader(spark):
@@ -620,27 +591,13 @@ def test_results_do_not_depend_on_vectorized_reader(spark):
     with the reader off ran green offline — the `vecreader` axis of
     scripts/config_matrix.py, CONFIG_MATRIX_r12.md; this pins the
     subset.)"""
-    names = ("q_scan_parquet", "q_pct_change_hourly", "q_unix_ts",
-             "q_multi_format_ts", "q_agg_groupby")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    baseline = {n: snapshot(n) for n in names}
-    before = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
-    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-    try:
-        for n in names:
-            assert snapshot(n) == baseline[n], (
-                f"{n} diverges on the row-based parquet reader"
-            )
-    finally:
-        spark.conf.set(
-            "spark.sql.parquet.enableVectorizedReader", before)
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.parquet.enableVectorizedReader": "false"},
+        ("q_scan_parquet", "q_pct_change_hourly", "q_unix_ts",
+         "q_multi_format_ts", "q_agg_groupby"),
+        "on the row-based parquet reader",
+    )
 
 
 def test_results_do_not_depend_on_session_timezone(spark):
@@ -758,30 +715,15 @@ def test_results_do_not_depend_on_input_split_size(spark):
     collection, and the raw-ns pushdown scan. (A full 214-query
     differential at maxPartitionBytes=1m / openCostInBytes=0 ran green
     offline; this pins the subset.)"""
-    names = ("q_udaf_weighted_avg", "q_multimodal_features",
-             "q_split_deterministic", "q_agg_collect_sorted",
-             "q_time_range_scan", "q_minhash_lsh")
-    from etl_finance_spark import registry
-
-    specs = registry.collect()
-
-    def snapshot(name):
-        df = specs[name].fn(spark, SF_SMOKE)
-        return sorted(map(str, df.collect()))
-
-    baseline = {n: snapshot(n) for n in names}
-    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    before_oc = spark.conf.get("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
-    spark.conf.set("spark.sql.files.openCostInBytes", "0")
-    try:
-        for n in names:
-            assert snapshot(n) == baseline[n], (
-                f"{n} diverges at 1 MB input splits"
-            )
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
-        spark.conf.set("spark.sql.files.openCostInBytes", before_oc)
+    _assert_conf_invariant(
+        spark,
+        {"spark.sql.files.maxPartitionBytes": "1m",
+         "spark.sql.files.openCostInBytes": "0"},
+        ("q_udaf_weighted_avg", "q_multimodal_features",
+         "q_split_deterministic", "q_agg_collect_sorted",
+         "q_time_range_scan", "q_minhash_lsh"),
+        "at 1 MB input splits",
+    )
 
 
 def test_results_do_not_depend_on_arrow_batch_size(spark):

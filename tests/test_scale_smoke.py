@@ -188,16 +188,22 @@ def test_minhash_ladder_recovers_planted_dups_at_scale(spark, doc_corpus):
     candidate generation linear in true duplicates, NOT
     corpus-quadratic."""
     from etl_finance_spark.llm.dedup import (
-        JACCARD_TAU, lsh_candidate_pairs, minhash_lsh_pairs,
-        minhash_signatures,
+        BAND_ROWS_WIDEN_DOCS, JACCARD_TAU, derive_band_rows,
+        lsh_candidate_pairs, minhash_lsh_pairs, minhash_signatures,
     )
 
     docs = doc_corpus
+    # the knob is now corpus-size-derived (VERDICT r12 item 6): 2 below
+    # the widen threshold, 4 at/above — this corpus lands on 4, so the
+    # default-argument path below exercises the derived scale setting
+    assert derive_band_rows(BAND_ROWS_WIDEN_DOCS - 1) == 2
+    assert derive_band_rows(BAND_ROWS_WIDEN_DOCS) == 4
+    assert derive_band_rows(N_DOCS) == 4
     n_cand = lsh_candidate_pairs(
-        minhash_signatures(docs), band_rows=4
+        minhash_signatures(docs), band_rows=derive_band_rows(N_DOCS)
     ).count()
     assert PLANTED * 0.95 <= n_cand <= PLANTED * 1.05 + 25, n_cand
-    verified = minhash_lsh_pairs(docs, JACCARD_TAU, band_rows=4)
+    verified = minhash_lsh_pairs(docs, JACCARD_TAU)
     got = {(r.d1, r.d2) for r in verified.collect()}
     planted = {(i, i + DOC_HALF) for i in range(PLANTED)}
     recall = len(got & planted) / PLANTED
@@ -512,3 +518,145 @@ def test_frequent_items_closed_form_at_1m_rows(spark):
         lo, hi = got[h]
         assert lo <= f <= hi and hi - lo <= slack_total, (h, lo, f, hi)
         assert f > slack_total  # the premise that guarantees candidacy
+
+
+# ---------------------------------------------------------------------------
+# Corpus-assembly alignment-seam probe (VERDICT r12 item 7): span_dedup
+# and pack_contexts at 50k docs. The sf0.1 bench exercises both on 3k
+# fixture docs where a seam bug (an off-by-one in the aligned segment
+# cut, a prefix-sum drift across shuffle partitions) can hide inside
+# hash-match noise of a single layout; this corpus PLANTS the seams —
+# boilerplate at aligned vs straddling offsets, variable doc lengths
+# straddling chunk boundaries — and pins the closed-form answer.
+# scaleprobe tier: heavy (50k docs), run via `pytest -m scaleprobe`.
+# ---------------------------------------------------------------------------
+
+SEAM_N = 50_000
+
+
+@pytest.fixture(scope="module")
+def seam_corpus(spark):
+    """50k docs, each = a corpus-wide 2*SEG_K-token boilerplate banner
+    plus a per-doc-unique tail of 10..32 tokens. Even doc_ids carry the
+    banner at offset 0 (segment-ALIGNED: it fills aligned segments 0
+    and 1 exactly); odd doc_ids prepend 2 unique tokens first
+    (STRADDLING: the banner crosses segment boundaries, so only its
+    interior aligned 8-token run b6..b13 is corpus-common — the
+    straddled halves mix with unique tokens and must survive). The
+    closed-form expectation (expected_clean, n_removed = 2 aligned / 1
+    straddling) is built alongside the text, token by token."""
+    from etl_finance_spark.llm.corpus import SEG_K
+
+    df = spark.range(SEAM_N).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id").cast("string")
+    boiler = F.transform(
+        F.sequence(F.lit(0), F.lit(2 * SEG_K - 1)),
+        lambda i: F.concat(F.lit("b"), i.cast("string")),
+    )
+    tail_len = (F.col("doc_id") % 23 + 10).cast("int")
+    tail = F.transform(
+        F.sequence(F.lit(0), tail_len - 1),
+        lambda i: F.concat(F.lit("t"), d, F.lit("x"), i.cast("string")),
+    )
+    prefix = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda i: F.concat(F.lit("u"), d, F.lit("x"), i.cast("string")),
+    )
+    aligned = F.col("doc_id") % 2 == 0
+    toks = F.when(aligned, F.concat(boiler, tail)).otherwise(
+        F.concat(prefix, boiler, tail)
+    )
+    # aligned docs lose the two pure-boiler segments; straddling docs
+    # lose only the interior run b[SEG_K-2 .. 2*SEG_K-3] (b6..b13): the
+    # front 6 and back 2 banner tokens ride in unique-mixed segments
+    clean = F.when(aligned, tail).otherwise(
+        F.concat(
+            prefix,
+            F.slice(boiler, 1, SEG_K - 2),
+            F.slice(boiler, 2 * SEG_K - 1, 2),
+            tail,
+        )
+    )
+    corpus = df.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        F.array_join(clean, " ").alias("expected_clean"),
+    ).persist()
+    corpus.count()
+    yield corpus
+    corpus.unpersist()
+
+
+@pytest.mark.scaleprobe
+def test_span_dedup_alignment_seams_at_scale(spark, seam_corpus):
+    """span_dedup at 50k docs with planted seams: every aligned banner
+    loses exactly its 2 pure segments, every straddling banner exactly
+    its 1 interior aligned run, and reassembly restores the surviving
+    tokens in original order — the closed form, violated by zero docs."""
+    from etl_finance_spark.llm.corpus import span_dedup
+
+    out = span_dedup(seam_corpus)
+    joined = out.join(
+        seam_corpus.select("doc_id", "expected_clean"), "doc_id"
+    )
+    expect_removed = F.when(F.col("doc_id") % 2 == 0, 2).otherwise(1)
+    n_bad = joined.filter(
+        (F.col("clean_text") != F.col("expected_clean"))
+        | (F.col("n_removed") != expect_removed)
+    ).count()
+    assert n_bad == 0, f"{n_bad} docs violate the seam closed form"
+    # inner semantics: no doc is 100% boilerplate here, so none drop
+    assert out.count() == SEAM_N
+
+
+@pytest.mark.scaleprobe
+def test_pack_contexts_offsets_consistent_at_scale(spark, seam_corpus):
+    """pack_contexts at 50k variable-length docs: the per-shard prefix
+    sum must be seamless across every adjacent doc pair (off[d] =
+    off[prev] + n_tokens[prev], first off = 0 — the property a
+    partition-boundary drift in the running sum would break), the
+    chunk decomposition must reconstruct the offset exactly
+    (chunk_id*CTX_LEN + chunk_pos == off, 0 <= chunk_pos < CTX_LEN),
+    and each shard's final extent must equal its token total (no gaps,
+    no overlaps). The corpus is sized so docs genuinely straddle chunk
+    boundaries — the probe asserts straddlers exist rather than
+    assuming them."""
+    from pyspark.sql.window import Window
+
+    from etl_finance_spark.llm.corpus import (
+        CTX_LEN, N_SHARDS, pack_contexts,
+    )
+
+    packed = pack_contexts(seam_corpus).persist()
+    try:
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        seam = packed.select(
+            "off", "n_tokens",
+            F.lag("off").over(w).alias("p_off"),
+            F.lag("n_tokens").over(w).alias("p_n"),
+        )
+        bad_prefix = seam.filter(
+            F.when(F.col("p_off").isNull(), F.col("off") != 0).otherwise(
+                F.col("off") != F.col("p_off") + F.col("p_n")
+            )
+        ).count()
+        assert bad_prefix == 0, f"{bad_prefix} prefix-sum seam violations"
+        bad_chunk = packed.filter(
+            (F.col("chunk_id") * CTX_LEN + F.col("chunk_pos")
+             != F.col("off"))
+            | (F.col("chunk_pos") < 0)
+            | (F.col("chunk_pos") >= CTX_LEN)
+        ).count()
+        assert bad_chunk == 0, f"{bad_chunk} chunk decomposition violations"
+        shards = packed.groupBy("shard").agg(
+            F.max(F.col("off") + F.col("n_tokens")).alias("end"),
+            F.sum("n_tokens").alias("tot"),
+        )
+        assert shards.count() == N_SHARDS
+        assert shards.filter(F.col("end") != F.col("tot")).count() == 0
+        n_straddle = packed.filter(
+            F.col("chunk_pos") + F.col("n_tokens") > CTX_LEN
+        ).count()
+        assert n_straddle > 0, "corpus produced no chunk-boundary straddlers"
+    finally:
+        packed.unpersist()

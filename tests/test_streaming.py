@@ -400,7 +400,9 @@ class TestCogroupAsof:
     "transformWithStateInPandas needs protobuf (its state-server "
     "protocol: pyspark.sql.streaming.proto); not shipped in this "
     "container — applyInPandasWithState above is the covered "
-    "stateful rung. This test activates wherever protobuf exists."))
+    "stateful rung. This test activates wherever protobuf exists. "
+    "(r13 re-checked: no google.protobuf on the import path and the "
+    "environment forbids package installs, so the gate stands.)"))
 class TestTransformWithState:
     def test_running_totals_carry_state(self, spark, tmp_path):
         import pandas as pd

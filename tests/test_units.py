@@ -813,21 +813,29 @@ def test_bench_compare_main_missing_trigger_and_watch(monkeypatch, capsys):
     assert "WARNING: not among the compared rows" in out
     assert "q_ann_ivf_topk" in out and "q_ivfpq_topk" in out
 
-    # both present inside envelope -> exit 0; --watch classifies a
-    # present item against the 2x bar and hand-flags an absent one
+    # both present inside envelope -> exit 0; --watch classifies each
+    # present item against the TWO-SIDED x0.50..x2.00 bar (ADVICE r12:
+    # a dramatic unexplained speedup deserves the same adjudication as
+    # a slowdown), strips per-item whitespace (`, w2` must match w2,
+    # not silently print the absent-row line), and hand-flags a
+    # genuinely absent one
     old, new = snapshots(
-        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.0},
-        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.1},
+        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.0,
+         "w2": 10.0},
+        {"q_ann_ivf_topk": 4.0, "q_ivfpq_topk": 5.0, "w1": 1.1,
+         "w2": 1.0},
     )
     store.update({"rOLD": old, "rNEW": new})
     monkeypatch.setattr(
         sys, "argv",
-        ["bench_compare.py", "rOLD", "rNEW", "--watch", "w1,w_gone"])
+        ["bench_compare.py", "rOLD", "rNEW", "--watch", "w1, w2,w_gone"])
     assert bc.main() == 0
     out = capsys.readouterr().out
     assert "prior-round watch items" in out
-    assert "closed (inside 2x)" in out          # w1 at x1.1 normalized-ish
-    assert "not among compared rows" in out      # w_gone
+    assert "closed (inside x0.50..x2.00)" in out  # w1 at x1.1 normalized
+    # w2 collapsed 10.0 -> 1.0 (x0.10 normalized): speedup-side OPEN
+    assert out.count("OPEN — adjudicate") == 1
+    assert "not among compared rows" in out       # w_gone
 
 
 def test_every_matrix_axis_has_a_pinned_subset():
