@@ -32,11 +32,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     graphs converge in few passes). The loop stops when a pass changes
     no label — bounded propagation (a fixed small iteration count)
     silently mislabels any component whose min node sits further than
-    the bound from some member, so the delta check is correctness, not
-    polish. `max_iter` is a runaway guard only. Each pass is one
+    the bound from some member, so the fixpoint check is correctness,
+    not polish. `max_iter` is a runaway guard only. Each pass is one
     equi-join + one groupBy + one self-join on node id — linear
-    shuffles, no driver-side state; the delta probe is an isEmpty on a
-    checkpointed frame (limit-1 short circuit).
+    shuffles, no driver-side state.
+
+    The fixpoint probe exploits monotonicity (r14, guide §2.4): both
+    update rules map a label to something <= itself (merged takes a min
+    with the own label among the inputs; the pointer jump substitutes
+    label(label) <= label, an invariant from label(x) starting at x and
+    only ever decreasing), and the node set is fixed — so the label SUM
+    strictly decreases iff any label changed, and sum equality with the
+    previous pass IS the fixpoint. One map-side partial aggregate over
+    the just-checkpointed frame replaces the former old-vs-new
+    equi-join + isEmpty probe, which cost two node-cardinality shuffles
+    per pass at scale for a boolean answer. The sum accumulates as
+    decimal(38,0) (never long) so it cannot overflow-wrap into a false
+    fixpoint; the row count rides along as a free structural tripwire.
 
     Lineage management is the non-obvious scale requirement: the label
     frame feeds the next iteration several times, so the unchecked plan
@@ -54,6 +66,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+
+    def label_sum(frame: DataFrame):
+        # (sum, count) fingerprint of a label frame; see docstring —
+        # equal fingerprints across a pass mean no label moved
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+
+    prev = label_sum(labels)
     converged = False
     for _ in range(max_iter):
         nbr = sym.join(
@@ -71,13 +93,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             merged.join(hop, "label", "left")
             .select("node", F.coalesce("jumped", "label").alias("label"))
         )
-        delta = new_labels.join(
-            labels.withColumnRenamed("label", "old"), "node"
-        ).filter(F.col("label") != F.col("old"))
+        cur = label_sum(new_labels)
         labels = new_labels
-        if delta.isEmpty():
+        if cur == prev:
             converged = True
             break
+        prev = cur
     if not converged:
         # Exhausting the guard is indistinguishable from convergence to
         # callers otherwise — and unconverged labels are silently WRONG

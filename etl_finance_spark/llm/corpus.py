@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.hofbarrier import barrier
 from etl_finance_spark.registry import register
 
 CTX_LEN = 2048  # tokens per packed context window
@@ -260,14 +261,20 @@ def span_dedup(docs: DataFrame, seg_k: int = SEG_K,
     alignment-seam scaleprobe (tests/test_scale_smoke.py), which pins
     the aligned-vs-straddling boilerplate semantics at scale."""
     w = F.split("text", " ")
-    segs = docs.select(
+    # barrier: the per-segment slice lambda is loop-invariant in the
+    # token array — inlined, the split re-executes once per segment
+    # (the word_ngrams hazard; hofbarrier module doc has the numbers)
+    wd = barrier(docs.select("doc_id", w.alias("w")))
+    segs = wd.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.floor((F.size(w) - 1) / seg_k).cast("int")
+                    F.lit(0), F.floor((F.size("w") - 1) / seg_k).cast("int")
                 ),
-                lambda i: F.array_join(F.slice(w, i * seg_k + 1, seg_k), " "),
+                lambda i: F.array_join(
+                    F.slice(F.col("w"), i * seg_k + 1, seg_k), " "
+                ),
             )
         ).alias("idx", "seg"),
     )

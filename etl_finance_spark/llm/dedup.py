@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.hofbarrier import barrier
 from etl_finance_spark.registry import register
 
 N_MINHASH = 32
@@ -64,11 +65,27 @@ def _token_set(text: Column) -> Column:
     return F.array_distinct(F.split(text, " "))
 
 
-def doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) pairs, token-set semantics (distinct per doc)."""
-    return docs.select(
-        "doc_id",
-        F.explode(_token_set(F.col("text"))).alias("tok"),
+def doc_tokens(docs: DataFrame, with_n: bool = False) -> DataFrame:
+    """(doc_id, tok) pairs, token-set semantics (distinct per doc).
+
+    ``with_n=True`` adds the token-set size as a third column ``n`` —
+    it is row-local (size of the array being exploded), so carrying it
+    through an inverted index costs 8 bytes per token row and removes
+    the separate per-doc size aggregate plus BOTH join-backs the
+    Jaccard consumers otherwise pay (at scale those join-backs are
+    pair-cardinality shuffles; guide §2.3/§2.4)."""
+    if not with_n:
+        return docs.select(
+            "doc_id",
+            F.explode(_token_set(F.col("text"))).alias("tok"),
+        )
+    # barrier: size() + explode() both consume the token set — without
+    # it the collapsed projection re-tokenizes once per consumer
+    toks = barrier(
+        docs.select("doc_id", _token_set(F.col("text")).alias("toks"))
+    )
+    return toks.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
     )
 
 
@@ -78,34 +95,40 @@ def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
     Inverted-index join: pairs only form through a shared token, so the
     complexity is sum over tokens of df(t)^2 — fine for rare tokens,
     quadratic for stopwords (which is why rung 3 exists).
+
+    The token-set sizes ride the index rows (with_n — row-local, 8
+    bytes per token) instead of a separate sizes aggregate joined back
+    onto the pair set twice: at scale those join-backs were two extra
+    pair-cardinality shuffles; min() over a constant-per-group column
+    recovers n1/n2 exactly (r14, guide §2.4).
     """
-    # three consumers (sizes + both join sides): tokenize once
-    toks = doc_tokens(docs).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = toks.alias("a"), toks.alias("b")
+    # two consumers (both join sides): tokenize once
+    toks = doc_tokens(docs, with_n=True).persist()
+    a = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                    "tok")
+    b = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                    "tok")
     shared = (
         a.join(b, "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
 
 
-def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+def word_ngrams(docs: DataFrame, n: int = 2,
+                with_n: bool = False) -> DataFrame:
     """(doc_id, shingle) pairs of word n-grams — higher-order zip over
-    the token array (no explode-then-window, no UDF).
+    the token array (no explode-then-window, no UDF). ``with_n=True``
+    carries the distinct-shingle count as a row-local ``n`` column
+    (same contract and rationale as doc_tokens).
 
     The shingle is the ``slice`` of the token array, NOT a re-joined
     string: tokens never contain the split delimiter, so the array is
@@ -121,12 +144,26 @@ def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
     under ANSI mode, where the oracle's ``generate_series(1, 0)``
     returns empty (round-1 ADVICE, confirmed on a 1-token doc)."""
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.slice(toks, i, n),
+    # materialize the token array ONCE per row behind a barrier: the
+    # per-position slice lambda below is loop-invariant in the token
+    # array, but inlined (collapsed) it re-tokenizes once per gram —
+    # measured 2.17s -> 0.59s for the 5-gram decontamination scan at
+    # sf0.1 (r14; the same hazard simhash's round-4 barrier documents)
+    w = barrier(
+        docs.filter(F.size(toks) >= n).select("doc_id", toks.alias("w"))
     )
-    return docs.filter(F.size(toks) >= n).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+        lambda i: F.slice(F.col("w"), i, n),
+    )
+    if not with_n:
+        return w.select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
+        )
+    # second barrier: size() + explode() both consume the gram set
+    g = barrier(w.select("doc_id", F.array_distinct(grams).alias("grams")))
+    return g.select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("tok")
     )
 
 
@@ -134,24 +171,25 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float, n: int = 2) -> DataFrame:
     """N-gram-shingle Jaccard near-dup: same inverted-index join as the
     unigram rung but over word n-grams — order-sensitive, so it
     separates docs that share vocabulary but not phrasing (exactly what
-    the tiny shared vocabulary of the fixtures defeats for unigrams)."""
-    # three consumers (sizes + both join sides): shingle once
-    toks = word_ngrams(docs, n).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = toks.alias("a"), toks.alias("b")
+    the tiny shared vocabulary of the fixtures defeats for unigrams).
+    Shingle-set sizes ride the index rows (with_n) — same two-shuffle
+    saving as exact_jaccard_pairs (r14)."""
+    # two consumers (both join sides): shingle once
+    toks = word_ngrams(docs, n, with_n=True).persist()
+    a = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                    "tok")
+    b = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                    "tok")
     shared = (
         a.join(b, "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
@@ -172,9 +210,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     hashes all agree — k null docs would meet as k(k-1)/2 candidate
     pairs in every band, the exact quadratic blowup LSH exists to
     avoid."""
-    arr = docs.filter(F.col("text").isNotNull()).select(
+    # barrier: the n_hashes seed columns all fold over the same token
+    # set — collapsed, the projection re-tokenizes once PER SEED
+    # (measured 0.51s -> 0.26s at the 500-doc cap, r14)
+    arr = barrier(docs.filter(F.col("text").isNotNull()).select(
         "doc_id", _token_set(F.col("text")).alias("toks")
-    )
+    ))
 
     def mh(seed: int):
         # factory, not an inline 2-arg lambda: transform would bind a
@@ -240,31 +281,38 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float,
     The default (band_rows=None) is therefore DERIVED from corpus size
     via `derive_band_rows`: 2 below 10k docs (recall-first; the
     quadratic term is bounded), 4 at or above (the measured scale
-    setting). The derivation costs one column-pruned count() job —
-    metadata-only on parquet sources — which is the standard price of a
-    size-based plan decision; pass an explicit band_rows to skip it."""
+    setting). The derivation costs one count() job at plan-build time —
+    a REAL column-pruned scan of ``docs`` (Spark only answers a bare
+    parquet count from footer metadata when no filter intervenes, and
+    callers routinely pass a filtered frame), so at 100 TB pass an
+    explicit band_rows (or derive one from catalog row counts) instead
+    of paying a corpus scan per plan build (VERDICT r13 item 5). Note
+    the derived value steps 2→4 exactly at 10k docs: verified-pair
+    output is deliberately not monotone in corpus size across that
+    boundary — reproducibility-sensitive callers near it should pin
+    band_rows explicitly (ADVICE r13)."""
     if band_rows is None:
         band_rows = derive_band_rows(docs.count())
     sigs = minhash_signatures(docs, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, band_rows)
-    # three consumers (sizes + both exact-verify sides): tokenize once
-    toks = doc_tokens(docs).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
+    # two exact-verify sides: tokenize once; token-set sizes ride the
+    # index rows (with_n) instead of a sizes aggregate joined back onto
+    # the pair set twice (r14, guide §2.4)
+    toks = doc_tokens(docs, with_n=True).persist()
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                     "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                     "tok")
     shared = (
         cands.join(t1, "d1")
         .join(t2, ["d2", "tok"])
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
@@ -422,9 +470,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_minhash_lsh", oracle=None)  # WEAK: xxhash64 has no DuckDB analog
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-LLM-3: the scale path. Property test (tests/test_llm.py)
-    measures recall against q_jaccard_pairs on the same corpus."""
+    measures recall against q_jaccard_pairs on the same corpus.
+
+    band_rows is pinned explicitly: the DOC_CAP filter bounds this
+    corpus at 500 docs — statically below BAND_ROWS_WIDEN_DOCS, so the
+    derivation could only ever return BAND_ROWS — and passing it skips
+    the derivation's plan-build count() scan (one whole Spark job
+    inside the measured query; VERDICT r13 item 5 / ADVICE r13). The
+    default-derivation path stays covered by unit tests."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < DOC_CAP)
-    return minhash_lsh_pairs(docs, JACCARD_TAU)
+    return minhash_lsh_pairs(docs, JACCARD_TAU, band_rows=BAND_ROWS)
 
 
 @register("q_simhash", oracle=None)  # WEAK: engine-specific hash values
@@ -449,17 +504,17 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
     joining on every token occurrence and joining on the rare tail —
     the inverted-index rung's hot tokens (stopwords) never generate
     candidates here because they sort to the END of the order."""
-    # the token relation feeds five consumers (sizes, document
-    # frequencies, the prefix pass, both exact-verify sides); persist
-    # so tokenization runs once — a PPJoin implementation materializes
-    # its tokenized relation, it doesn't re-tokenize per index pass
-    toks = doc_tokens(docs).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # the token relation feeds four consumers (document frequencies,
+    # the prefix pass, both exact-verify sides); persist so tokenization
+    # runs once — a PPJoin implementation materializes its tokenized
+    # relation, it doesn't re-tokenize per index pass. Token-set sizes
+    # ride the rows (with_n): the prefix-length filter reads the carried
+    # n directly and the verify step needs no sizes join-back (r14)
+    toks = doc_tokens(docs, with_n=True).persist()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
         toks.join(freq, "tok")
-        .join(sizes, "doc_id")
         .withColumn("r", F.row_number().over(w))
         .filter(
             F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
@@ -476,21 +531,20 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                     "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                     "tok")
     shared = (
         cand.join(t1, "d1")
         .join(t2, ["d2", "tok"])
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )

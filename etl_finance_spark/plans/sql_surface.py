@@ -110,16 +110,32 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 10 == 0
     )
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("dst"))
-    edges = cut_lineage(
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    # same-order edges via per-order baskets (r14, the plans/graph.py
+    # shape): one exchange builds the sorted distinct part set per
+    # order, the src < dst pairs generate row-locally, the distinct is
+    # the second and last exchange, and both directions come from a
+    # union of the distinct canonical pairs (ReusedExchange — the swap
+    # branch re-reads the same aggregate). The prior order-keyed
+    # self-join + directed distinct spent three exchanges and scanned
+    # the slice twice for the identical edge set.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + F.lit(2), F.size(F.col("parts"))),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+        ),
+    ))
+    canon = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.src", "pr.dst")
         .distinct()
     )
+    edges = cut_lineage(canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ))
     k = next(_BFS_SEQ)
     ev, sv = f"bfs_edges_{k}", f"bfs_seed_{k}"
     edges.createOrReplaceTempView(ev)

@@ -280,11 +280,16 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a NOT-IN exclusion expressed as a left-anti join. The
     blocklist and the filtered part are both sf-proportional slices,
     so neither carries a forced broadcast hint (VERDICT r3 rule — AQE
-    broadcasts them while small). The fact's only shuffle is the
-    (partkey, suppkey) distinct, which doubles as the count-distinct's
-    first phase."""
+    broadcasts them while small).
+
+    No standalone (partkey, suppkey) distinct (r14, guide §2.4): the
+    count-distinct rewrite already dedups on (brand, type, size,
+    suppkey) with map-side partials, and count(DISTINCT) is invariant
+    under row multiplicity through the joins — so the pre-distinct was
+    a full extra exchange of the fact for nothing, and it forced the
+    fact to shuffle BEFORE the selective part filter could prune it."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    ps = li.distinct()
+    ps = li
     bad = table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")

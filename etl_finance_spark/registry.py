@@ -76,76 +76,78 @@ _QUERY_MODULES = (
 # the names below come first (in this order), everything else follows
 # in registration order.
 #
-# Round-13 composition (exactly 50, derived by `python
-# scripts/plan_window.py --recheck q_minhash_lsh,q_pack_contexts,
-# q_span_dedup` from CORRECTNESS_r01-r12): 1 flagship; 0 reds
-# (cumulative ledger zero-red since r06); 3 changed-file re-checks
-# (llm/dedup.py grew the corpus-size-derived band_rows default on
-# minhash_lsh_pairs — q_minhash_lsh now takes the derivation path,
-# landing on the same band_rows=2 at its 500-doc cap; llm/corpus.py's
-# q_pack_contexts/q_span_dedup were refactored into library forms for
-# the 50k-doc alignment-seam scaleprobes — behavior-preserving, so
-# the re-check is the proof); 0 never-checked; then the STALENESS
-# FILL — all 33 remaining r08-evidence queries (the q_agg_* family,
-# q_udf_pandas, q_incremental_ingest, q_corpus_prep, the sampling/
-# multimodal/scalar-family stragglers) plus the 13 oldest r09
-# queries, oldest round then registration order. After this round no
-# query's driver evidence is older than r09.
+# Round-14 composition (exactly 50, derived by `python
+# scripts/plan_window.py --recheck q_copurchase_pairs,
+# q_triangle_count,q_pagerank,q_jaccard_pairs,q_ngram_jaccard,
+# q_minhash_lsh,q_jaccard_prefix,q_dedup_clusters,q_span_dedup,
+# q_decontaminate,q_repetition_score,q_supplier_cnt,q_recursive_bfs`
+# from CORRECTNESS_r01-r13): 1 flagship; 0 reds (zero-red since r06);
+# 13 changed-file re-checks — the r14 OPTIMIZATION-round plan
+# restructures, every one diffcheck-proven result-identical before
+# landing (OPTIMIZATION_r14.md: the collect_set edge build shared by
+# the three graph queries, the carry-n Jaccard family + explicit
+# band_rows, the connected-components monotone-sum probe, the
+# word_ngrams/minhash/span_dedup/repetition HOF barriers, the
+# supplier_cnt pre-distinct drop, the BFS basket edge build); 0
+# never-checked; then the 36-slot STALENESS FILL — the remaining
+# r09-evidence queries, then the oldest r10, oldest round then
+# registration order. After this round no query's driver evidence is
+# older than r10 (the r13-verdict item-3 target).
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks (3)
+    # changed-file re-checks (13) — r14 optimization restructures
+    "q_copurchase_pairs",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_jaccard_pairs",
+    "q_ngram_jaccard",
     "q_minhash_lsh",
-    "q_pack_contexts",
+    "q_jaccard_prefix",
+    "q_dedup_clusters",
     "q_span_dedup",
-    # staleness fill: r08 evidence (33), registration order
-    "q_posexplode",
-    "q_regexp_replace",
-    "q_percentiles",
-    "q_approx_percentiles",
-    "q_exists_subquery",
-    "q_correlated_scalar",
-    "q_udf_pandas",
-    "q_udaf_weighted_avg",
-    "q_agg_groupby",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_approx_distinct",
-    "q_histogram",
-    "q_latest_per_key",
-    "q_skew_distinct",
-    "q_agg_grouping_id",
-    "q_median_by_group",
-    "q_corr_covar",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_corpus_prep",
-    "q_stratified_sample",
-    "q_weighted_sample",
-    "q_lexical_diversity",
-    "q_stream_pair_join",
-    "q_funnel",
-    "q_string_agg",
-    "q_rolling_active_users",
-    "q_snapshot_diff",
-    "q_incremental_ingest",
-    # staleness fill: oldest r09 evidence (13)
-    "q_nullif_coalesce",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_array_funcs",
-    "q_try_cast",
-    "q_array_funcs2",
-    "q_bitwise",
-    "q_greatest_least",
-    "q_str_pad",
-    "q_map_funcs",
-    "q_array_hof3",
-    "q_map_funcs2",
+    "q_decontaminate",
+    "q_repetition_score",
+    "q_supplier_cnt",
+    "q_recursive_bfs",
+    # staleness fill (36): the remaining r09-evidence queries first,
+    # then the oldest r10 — oldest round, then registration order
+    "q_regional_revenue",
+    "q_large_orders",
+    "q_two_nation_volume",
+    "q_returned_revenue_topk",
+    "q_ohlc_hourly",
+    "q_session_stats",
+    "q_snapshot_apply",
+    "q_mad_outliers",
+    "q_retention_matrix",
+    "q_interarrival",
+    "q_win_ntile_scalable",
+    "q_win_lead",
+    "q_win_first_last",
+    "q_fill_forward",
+    "q_win_range_frame",
+    "q_win_pct_rank",
+    "q_topk",
+    "q_win_topk_per_group",
+    "q_zscore",
+    "q_win_cume_dist",
+    "q_interpolate_linear",
+    "q_time_range_scan",
+    "q_profile_events",
+    "q_join_inner",
+    "q_revenue_topk",
+    "q_join_asof_events",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_shipmode_priority",
+    "q_custdist",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_dedup_text",
+    "q_text_stats",
+    "q_stream_tumbling",
+    "q_union_by_name",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query

@@ -469,9 +469,13 @@ def _assert_conf_invariant(spark, confs, names, label, expect_before=None):
     before = {k: spark.conf.get(k) for k in confs}
     for k, v in (expect_before or {}).items():
         assert before[k] == v, f"session default for {k} is not {v!r}"
-    for k, v in confs.items():
-        spark.conf.set(k, v)
+    # the flip loop sits INSIDE the try: if setting the Nth conf of a
+    # multi-conf axis raises, the finally must still restore the N-1
+    # already flipped — otherwise they leak into every later test on
+    # the session-scoped fixture (ADVICE r13)
     try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         for n in names:
             assert snapshot(n) == baseline[n], f"{n} diverges {label}"
     finally:
