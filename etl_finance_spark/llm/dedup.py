@@ -65,27 +65,26 @@ def _token_set(text: Column) -> Column:
     return F.array_distinct(F.split(text, " "))
 
 
-def doc_tokens(docs: DataFrame, with_n: bool = False) -> DataFrame:
+def doc_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, tok) pairs, token-set semantics (distinct per doc).
 
-    ``with_n=True`` adds the token-set size as a third column ``n`` —
-    it is row-local (size of the array being exploded), so carrying it
-    through an inverted index costs 8 bytes per token row and removes
-    the separate per-doc size aggregate plus BOTH join-backs the
-    Jaccard consumers otherwise pay (at scale those join-backs are
-    pair-cardinality shuffles; guide §2.3/§2.4)."""
-    if not with_n:
-        return docs.select(
-            "doc_id",
-            F.explode(_token_set(F.col("text"))).alias("tok"),
-        )
-    # barrier: size() + explode() both consume the token set — without
-    # it the collapsed projection re-tokenizes once per consumer
-    toks = barrier(
-        docs.select("doc_id", _token_set(F.col("text")).alias("toks"))
-    )
-    return toks.select(
-        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    Deliberately does NOT carry the token-set size per row: an r14
+    experiment rode ``n`` through the inverted-index self-join to drop
+    the sizes aggregate + join-backs. Local timing could not decide it
+    on this host — a same-session A/B first read 3.6x slower, but the
+    interleaved fresh-process re-measurement showed IDENTICAL old-code
+    binaries swinging 2.9x run-to-run (OPTIMIZATION_r14.md change 2;
+    both orderings were noise artifacts). First principles did decide
+    it: the extra per-row bytes land on the QUADRATIC join
+    intermediate, the largest frame in the plan, while the sizes
+    join-backs being replaced operate on the far smaller
+    post-threshold pair set (guide §2.3: shuffle fewer bytes *on the
+    big frames*). Sizes stay a separate per-doc aggregate joined onto
+    pairs; don't re-run the experiment without an interleaved
+    fresh-process protocol."""
+    return docs.select(
+        "doc_id",
+        F.explode(_token_set(F.col("text"))).alias("tok"),
     )
 
 
@@ -94,41 +93,38 @@ def exact_jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
 
     Inverted-index join: pairs only form through a shared token, so the
     complexity is sum over tokens of df(t)^2 — fine for rare tokens,
-    quadratic for stopwords (which is why rung 3 exists).
-
-    The token-set sizes ride the index rows (with_n — row-local, 8
-    bytes per token) instead of a separate sizes aggregate joined back
-    onto the pair set twice: at scale those join-backs were two extra
-    pair-cardinality shuffles; min() over a constant-per-group column
-    recovers n1/n2 exactly (r14, guide §2.4).
+    quadratic for stopwords (which is why rung 3 exists). Sizes attach
+    to the post-aggregation pair set, NOT the index rows — the measured
+    r14 trade recorded at doc_tokens.
     """
-    # two consumers (both join sides): tokenize once
-    toks = doc_tokens(docs, with_n=True).persist()
-    a = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
-                    "tok")
-    b = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
-                    "tok")
+    # three consumers (sizes + both join sides): tokenize once
+    toks = doc_tokens(docs).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
     shared = (
         a.join(b, "tok")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"),
-             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
 
 
-def word_ngrams(docs: DataFrame, n: int = 2,
-                with_n: bool = False) -> DataFrame:
+def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, shingle) pairs of word n-grams — higher-order zip over
-    the token array (no explode-then-window, no UDF). ``with_n=True``
-    carries the distinct-shingle count as a row-local ``n`` column
-    (same contract and rationale as doc_tokens).
+    the token array (no explode-then-window, no UDF). No per-row size
+    column, deliberately — doc_tokens records the measured reason.
 
     The shingle is the ``slice`` of the token array, NOT a re-joined
     string: tokens never contain the split delimiter, so the array is
@@ -156,14 +152,8 @@ def word_ngrams(docs: DataFrame, n: int = 2,
         F.sequence(F.lit(1), F.size("w") - (n - 1)),
         lambda i: F.slice(F.col("w"), i, n),
     )
-    if not with_n:
-        return w.select(
-            "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
-        )
-    # second barrier: size() + explode() both consume the gram set
-    g = barrier(w.select("doc_id", F.array_distinct(grams).alias("grams")))
-    return g.select(
-        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("tok")
+    return w.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
     )
 
 
@@ -172,24 +162,24 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float, n: int = 2) -> DataFrame:
     unigram rung but over word n-grams — order-sensitive, so it
     separates docs that share vocabulary but not phrasing (exactly what
     the tiny shared vocabulary of the fixtures defeats for unigrams).
-    Shingle-set sizes ride the index rows (with_n) — same two-shuffle
-    saving as exact_jaccard_pairs (r14)."""
-    # two consumers (both join sides): shingle once
-    toks = word_ngrams(docs, n, with_n=True).persist()
-    a = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
-                    "tok")
-    b = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
-                    "tok")
+    Sizes attach post-aggregation (the doc_tokens r14 note)."""
+    # three consumers (sizes + both join sides): shingle once
+    toks = word_ngrams(docs, n).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
     shared = (
         a.join(b, "tok")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"),
-             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
@@ -295,24 +285,24 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float,
         band_rows = derive_band_rows(docs.count())
     sigs = minhash_signatures(docs, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, band_rows)
-    # two exact-verify sides: tokenize once; token-set sizes ride the
-    # index rows (with_n) instead of a sizes aggregate joined back onto
-    # the pair set twice (r14, guide §2.4)
-    toks = doc_tokens(docs, with_n=True).persist()
-    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
-                     "tok")
-    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
-                     "tok")
+    # three consumers (sizes + both exact-verify sides): tokenize once
+    toks = doc_tokens(docs).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
     shared = (
         cands.join(t1, "d1")
         .join(t2, ["d2", "tok"])
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"),
-             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
@@ -504,17 +494,17 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
     joining on every token occurrence and joining on the rare tail —
     the inverted-index rung's hot tokens (stopwords) never generate
     candidates here because they sort to the END of the order."""
-    # the token relation feeds four consumers (document frequencies,
-    # the prefix pass, both exact-verify sides); persist so tokenization
-    # runs once — a PPJoin implementation materializes its tokenized
-    # relation, it doesn't re-tokenize per index pass. Token-set sizes
-    # ride the rows (with_n): the prefix-length filter reads the carried
-    # n directly and the verify step needs no sizes join-back (r14)
-    toks = doc_tokens(docs, with_n=True).persist()
+    # the token relation feeds five consumers (sizes, document
+    # frequencies, the prefix pass, both exact-verify sides); persist
+    # so tokenization runs once — a PPJoin implementation materializes
+    # its tokenized relation, it doesn't re-tokenize per index pass
+    toks = doc_tokens(docs).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
         toks.join(freq, "tok")
+        .join(sizes, "doc_id")
         .withColumn("r", F.row_number().over(w))
         .filter(
             F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
@@ -531,20 +521,21 @@ def jaccard_pairs_prefix(docs: DataFrame, tau: float) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
-                     "tok")
-    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
-                     "tok")
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
     shared = (
         cand.join(t1, "d1")
         .join(t2, ["d2", "tok"])
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"),
-             F.min("n1").alias("n1"), F.min("n2").alias("n2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )

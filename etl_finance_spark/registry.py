@@ -80,23 +80,27 @@ _QUERY_MODULES = (
 # scripts/plan_window.py --recheck q_copurchase_pairs,
 # q_triangle_count,q_pagerank,q_jaccard_pairs,q_ngram_jaccard,
 # q_minhash_lsh,q_jaccard_prefix,q_dedup_clusters,q_span_dedup,
-# q_decontaminate,q_repetition_score,q_supplier_cnt,q_recursive_bfs`
-# from CORRECTNESS_r01-r13): 1 flagship; 0 reds (zero-red since r06);
-# 13 changed-file re-checks — the r14 OPTIMIZATION-round plan
+# q_decontaminate,q_repetition_score,q_supplier_cnt,q_recursive_bfs,
+# q_dq_expectations` from CORRECTNESS_r01-r13): 1 flagship; 0 reds
+# (zero-red since r06);
+# 14 changed-file re-checks — the r14 OPTIMIZATION-round plan
 # restructures, every one diffcheck-proven result-identical before
 # landing (OPTIMIZATION_r14.md: the collect_set edge build shared by
-# the three graph queries, the carry-n Jaccard family + explicit
-# band_rows, the connected-components monotone-sum probe, the
-# word_ngrams/minhash/span_dedup/repetition HOF barriers, the
-# supplier_cnt pre-distinct drop, the BFS basket edge build); 0
-# never-checked; then the 36-slot STALENESS FILL — the remaining
+# the three graph queries, the word_ngrams/minhash/span_dedup/
+# repetition HOF barriers, q_minhash_lsh's explicit band_rows, the
+# carry-n Jaccard experiment REVERTED in-session (so those queries'
+# final plans match r13 up to the barriers — re-checked anyway), the
+# connected-components monotone-sum probe, the supplier_cnt
+# pre-distinct drop, the BFS basket edge build, the dq_expectations
+# scan fusion); 0
+# never-checked; then the 35-slot STALENESS FILL — the remaining
 # r09-evidence queries, then the oldest r10, oldest round then
 # registration order. After this round no query's driver evidence is
 # older than r10 (the r13-verdict item-3 target).
 _DRIVER_WINDOW = (
     # flagship — the shim's entry() query, always first
     "q_pct_change_hourly",
-    # changed-file re-checks (13) — r14 optimization restructures
+    # changed-file re-checks (14) — r14 optimization restructures
     "q_copurchase_pairs",
     "q_triangle_count",
     "q_pagerank",
@@ -110,7 +114,8 @@ _DRIVER_WINDOW = (
     "q_repetition_score",
     "q_supplier_cnt",
     "q_recursive_bfs",
-    # staleness fill (36): the remaining r09-evidence queries first,
+    "q_dq_expectations",
+    # staleness fill (35): the remaining r09-evidence queries first,
     # then the oldest r10 — oldest round, then registration order
     "q_regional_revenue",
     "q_large_orders",
@@ -147,7 +152,6 @@ _DRIVER_WINDOW = (
     "q_dedup_text",
     "q_text_stats",
     "q_stream_tumbling",
-    "q_union_by_name",
 )
 
 # Rotation bookkeeping. Surface closed at 220 in round 6; every query
