@@ -247,15 +247,18 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         qb = lsh_band_keys(queries).select(
             F.col("vec_id").alias("qid"), "band_idx", "band_bits",
         )
-    # salt the band join on a hash bucket of cid (same parallelism move
-    # as the IVF candidate join): bare band keys give N_BANDS x 2^bits
-    # distinct shuffle keys with hot buckets as stragglers; the small
-    # query side replicates PAIR_SALTS x, each (qid, cid) meeting per
-    # matching band exactly as before — the distinct then collapses
-    # multi-band hits with full (qid, cid) key parallelism.
+    # BROADCAST the query bands (r15, guide §3.1): the query set is the
+    # bounded side by design (the same convention under which qv
+    # broadcasts for the rerank below), so qb is |Q| x n_bands tiny
+    # rows — a broadcast-hash join removes BOTH band-key shuffles of
+    # the former salted sort-merge join (plan: 2 Exchange + 2 Sort
+    # gone), and with them the low-cardinality-band-key parallelism
+    # problem salting existed to patch: the probe side's parallelism is
+    # the corpus partitioning, the band key never becomes a partition
+    # key. The distinct still collapses multi-band hits with full
+    # (qid, cid) key parallelism.
     cand = (
-        salted_join(vb, qb, ["band_idx", "band_bits"],
-                    salt=PAIR_SALTS, salt_on=["cid"])
+        vb.join(F.broadcast(qb), ["band_idx", "band_bits"])
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
         .distinct()
@@ -339,9 +342,13 @@ N_PROBE = 2
 LLOYD_ITERS = 2
 CHECKPOINT_EVERY = 4  # Lloyd passes between lineage cuts; see ivf_centroids
 TRAIN_CAP = 4096  # quantizer training-sample bound; see ivf_centroids
-# Cell-keyed joins have only N_CELLS distinct shuffle keys; salting by a
-# hash bucket of the corpus-side id raises their parallelism ceiling to
-# N_CELLS x PAIR_SALTS (see semantic_dedup / ann_ivf_topk candidates).
+# Cell-keyed SHUFFLE joins have only N_CELLS distinct shuffle keys;
+# salting by a hash bucket of the corpus-side id raises their
+# parallelism ceiling to N_CELLS x PAIR_SALTS. Since r15 only the
+# corpus-vs-corpus pair scan (semantic_dedup) shuffles on the cell key
+# — the query-vs-corpus candidate joins broadcast the bounded query
+# side instead (ivf_candidates / ann_lsh_topk), which removes the
+# shuffle and the ceiling together.
 PAIR_SALTS = 8
 
 
@@ -567,15 +574,18 @@ def ivf_candidates(corpus_cells: DataFrame, query_cells: DataFrame,
     (qid, cid) pair can only arise once — a dedup would be a pure
     candidate-cardinality shuffle bought for nothing.
 
-    SALTED on the corpus side's cid bucket (same move as the
-    semantic_dedup pair scan): a bare-cell join has only N_CELLS
-    distinct keys, capping candidate generation at N_CELLS tasks with
-    the largest cell as straggler. The small query-routing side
-    replicates PAIR_SALTS x; each (qid, cid) still meets exactly once
-    (the bucket is a function of cid alone)."""
+    BROADCAST query routing (r15, guide §3.1): the query set is the
+    bounded side by design (the same convention under which qv
+    broadcasts for every rung's rerank), so ``query_cells`` is
+    |Q| x nprobe tiny rows. A broadcast-hash join makes candidate
+    generation a PURE MAP over the corpus index — zero shuffles at any
+    corpus size — and dissolves the low-cardinality-cell-key problem
+    the former PAIR_SALTS salting patched: the probe side's
+    parallelism is the corpus partitioning, the cell id never becomes
+    a partition key. (semantic_dedup's corpus-vs-corpus pair scan
+    keeps its salted join — there BOTH sides are unbounded.)"""
     return (
-        salted_join(corpus_cells, query_cells, "cell",
-                    salt=PAIR_SALTS, salt_on=["cid"])
+        corpus_cells.join(F.broadcast(query_cells), "cell")
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid", *carry)
     )
