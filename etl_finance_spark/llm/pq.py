@@ -26,11 +26,12 @@ and directly comparable against the exact rung
 
 Spark shapes, same discipline as ivf_centroids (similarity.py):
 
-- **Training** is LLOYD passes over (subspace, sub-vector) rows from a
-  deterministic TRAIN_CAP-bounded sample; the only distributed rollup
-  is a groupBy((j, code, pos)) mean whose output is <= M*KS*DSUB rows.
-  All M codebooks train in the SAME pass — subspace is a key, not a
-  loop.
+- **Training** is LLOYD passes over a deterministic TRAIN_CAP-bounded
+  sample packed into ONE row (similarity._packed_sample): all M
+  codebooks re-estimate in the same row-local fold — the build's only
+  shuffles are the sample TakeOrdered and the 1-row pack (r15; the
+  former per-pass (j, code, pos) rollups were ~8 micro-stages of
+  scheduling constants on a 4096-row frame).
 - **The model is one packed row** (M*KS*DSUB = 1024 doubles, a few KB)
   that broadcasts; encoding is a PURE PROJECTION (crossJoin +
   higher-order argmin per subspace), zero shuffles at any corpus size.
@@ -51,8 +52,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_finance_spark.hofbarrier import barrier
 from etl_finance_spark.lineage import cut_lineage, managed_persist
-from etl_finance_spark.llm.similarity import DIM, _l2sq
+from etl_finance_spark.llm.similarity import DIM, _packed_sample
 from etl_finance_spark.registry import register
 
 M = 16            # subspaces
@@ -85,44 +87,93 @@ def _sub(vec: Column, j: Column | int) -> Column:
     return F.slice(vec, j * DSUB + 1, DSUB)
 
 
-def _pack_books(flat_means: DataFrame) -> DataFrame:
-    """(j, code, pos, m) rows -> ONE row with ``pqw``: array of
-    struct(j, code, w: array<double>) sorted by (j, code). Same
-    map-side single-global-aggregate re-pack as ivf_centroids, one
-    nesting level deeper; codewords that lost all members drop out
-    (encode's argmin simply never picks them again)."""
-    return (
-        flat_means.groupBy()
-        .agg(F.collect_list(F.struct("j", "code", "pos", "m")).alias("flat"))
-        .select(
-            F.transform(
-                F.array_sort(
-                    F.array_distinct(
-                        F.transform(
-                            "flat",
-                            lambda x: F.struct(
-                                x.getField("j").alias("j"),
-                                x.getField("code").alias("code"),
-                            ),
-                        )
-                    )
-                ),
-                lambda p: F.struct(
-                    p.getField("j").alias("j"),
-                    p.getField("code").alias("code"),
-                    F.transform(
-                        F.array_sort(
-                            F.filter(
-                                F.col("flat"),
-                                lambda x: (x.getField("j") == p.getField("j"))
-                                & (x.getField("code") == p.getField("code")),
-                            )
-                        ),
-                        lambda x: x.getField("m"),
-                    ).alias("w"),
-                ),
-            ).alias("pqw")
-        )
+def _sub_l2sq(w: Column, vec: Column, j: Column) -> Column:
+    """L2^2 between codeword ``w`` and ``vec``'s j-th DSUB slice as a
+    FLAT expression: sum_k (w[k] - vec[j*DSUB+k])^2 with no slice, no
+    zip_with array, no fold lambda. Bit-identical to
+    ``_l2sq(w, _sub(vec, j))``: the squared terms accumulate
+    left-to-right in position order, and IEEE ``0.0 + d == d`` for the
+    non-negative squares, so dropping the fold's 0.0 seed changes
+    nothing. DSUB is a small constant (4), so the expression stays far
+    from the JIT huge-method trap the 64-term unrolled dot hit (r14
+    change 8 — that stays reverted); here the win is removing two
+    array allocations + lambda dispatch per (vector, codeword) from
+    the hottest interpreted loop in the PQ family (training
+    assignment, corpus encode, ADC table build)."""
+    base = j * DSUB
+    d0 = F.get(w, 0) - F.get(vec, base)
+    acc = d0 * d0
+    for k in range(1, DSUB):
+        dk = F.get(w, k) - F.get(vec, base + k)
+        acc = acc + dk * dk
+    return acc
+
+
+def _pq_assign_packed(sample: Column, pqw_g: Column) -> Column:
+    """Per sample element, its per-subspace codes under a
+    ``_books_grouped`` codebook — array<struct<codes: array<int>,
+    vec>>. The per-subspace argmin is exactly the shared encode
+    expression (_codes_from_grouped: lexicographic (dist, code)
+    tie-break), mapped over the packed sample."""
+    return F.transform(
+        sample,
+        lambda x: F.struct(
+            _codes_from_grouped(x.getField("vec"), pqw_g).alias("codes"),
+            x.getField("vec").alias("vec"),
+        ),
+    )
+
+
+def _pq_means_packed(assigned: Column, pqw: Column) -> Column:
+    """One PQ re-estimation over the packed assignment: per (j, code)
+    codeword, the per-position mean of its members' j-th sub-vectors,
+    codewords that lost all members dropped — the row-local equivalent
+    of the former posexplode + groupBy(j, code, pos).avg + global
+    re-pack, with bit-identical arithmetic (per-slot left-to-right
+    sums in sample order / long count). Entry order is inherited from
+    ``pqw``, which is (j, code)-sorted from seeding and stays sorted
+    under member-loss filtering — the same order the former re-pack
+    re-established by sorting."""
+    with_n = F.transform(
+        pqw,
+        lambda e: F.aggregate(
+            F.filter(
+                assigned,
+                lambda a: F.element_at(
+                    a.getField("codes"), e.getField("j") + 1
+                ) == e.getField("code"),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("n"),
+                F.transform(
+                    e.getField("w"), lambda _: F.lit(0.0)
+                ).alias("s"),
+            ),
+            lambda ac, a: F.struct(
+                (ac.getField("n") + 1).alias("n"),
+                F.zip_with(
+                    ac.getField("s"),
+                    _sub(a.getField("vec"), e.getField("j")),
+                    lambda s, v: s + v,
+                ).alias("s"),
+            ),
+            lambda ac: F.struct(
+                e.getField("j").alias("j"),
+                e.getField("code").alias("code"),
+                ac.getField("n").alias("n"),
+                F.transform(
+                    ac.getField("s"), lambda s: s / ac.getField("n")
+                ).alias("w"),
+            ),
+        ),
+    )
+    return F.transform(
+        F.filter(with_n, lambda e: e.getField("n") > 0),
+        lambda e: F.struct(
+            e.getField("j").alias("j"),
+            e.getField("code").alias("code"),
+            e.getField("w").alias("w"),
+        ),
     )
 
 
@@ -135,125 +186,103 @@ def pq_train(vectors: DataFrame, train_cap: int = PQ_TRAIN_CAP) -> DataFrame:
     lowest-vec_id seeding, the lexicographic (dist, code) argmin
     tie-break, and the (j, code) sort of the packed model are all
     partition-invariant — the same corpus yields the same model on any
-    cluster layout (pinned in tests/test_pq.py). Every Lloyd pass is
-    one crossJoin against the broadcast model plus one <= M*KS*DSUB-row
-    rollup; the corpus itself is read once for the sample."""
-    # managed_persist, NOT cut_lineage: the sample's lineage is shallow
-    # (scan + hash-order + limit), so truncation buys nothing — but the
-    # localCheckpoint planning round-trip costs ~1-2s of driver time per
-    # cold call (the r06 perf finding: these constants are driver-side,
-    # not executor compute). The persist alone gives the three
-    # consumers (seeds + each Lloyd pass) their recompute-free reads.
-    train = managed_persist(
-        vectors.select("vec_id", "vec")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap)
-    )
+    cluster layout (pinned in tests/test_pq.py).
+
+    PACKED-SAMPLE TRAINING (r15): same restructure as ivf_centroids —
+    the sample is bounded by construction, so the whole Lloyd
+    iteration runs as higher-order folds over ONE packed sample row
+    (similarity._packed_sample) instead of ~8 micro-stages of
+    crossJoin + (j, code, pos) exchanges + global re-packs on a
+    4096-row frame, each paying fixed scheduling constants (the r15
+    phase probe: the cut's toRdd under AQE executes those stages; the
+    cost was stage count, not Catalyst compile). Assignment reuses the
+    shared encode expression (_codes_col); means accumulate per
+    (j, code, pos) slot left-to-right in sample order and divide by
+    the long count — bit-identical arithmetic to the former partial
+    Average. Bit-identity old-vs-new verified on sf0.001/0.01/0.1
+    before the old shape was removed (OPTIMIZATION_r15.md). The final
+    non-eager cut is unchanged: consumers never replay k-means
+    lineage, and constructing a consumer must not train as a side
+    effect (the first real action does)."""
+    df = _packed_sample(vectors, train_cap)
     # seeds: the KS lowest-vec_id sample vectors donate their j-th
     # slice to subspace j's codebook (the ivf seeding trick, per
     # subspace). Fewer than KS sample rows -> NULL slices, filtered out
     # (degenerate/empty inputs keep a schema-stable empty codebook).
-    seeds = (
-        train.orderBy("vec_id").limit(KS)
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vec"))).alias("s"))
-        .select(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(M - 1)),
-                        lambda j: F.transform(
-                            F.sequence(F.lit(0), F.lit(KS - 1)),
-                            lambda c: F.struct(
-                                j.alias("j"),
-                                c.alias("code"),
-                                _sub(F.get(F.col("s"), c).getField("vec"),
-                                     j).alias("w"),
-                            ),
-                        ),
-                    )
+    # The sorted-KS prefix materializes as its own barriered column:
+    # inlined, the seed lambda's F.get would re-sort the sample once
+    # per (j, code) pair.
+    df = barrier(df.select(
+        "sample",
+        F.slice(F.array_sort(F.col("sample")), 1, KS).alias("s"),
+    ))
+    seeds = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), F.lit(KS - 1)),
+                    lambda c: F.struct(
+                        j.alias("j"),
+                        c.alias("code"),
+                        _sub(F.get(F.col("s"), c).getField("vec"),
+                             j).alias("w"),
+                    ),
                 ),
-                lambda x: x.getField("w").isNotNull(),
-            ).alias("pqw")
-        )
-    )
-    books = seeds
-    it = 0
-    for _ in range(PQ_LLOYD):
-        # assign every (row, subspace) pair to its nearest codeword —
-        # all M subspaces in one pass, subspace as a key
-        assigned = (
-            train.crossJoin(F.broadcast(books))
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(M - 1)),
-                        lambda j: F.struct(
-                            j.alias("j"),
-                            F.array_min(
-                                F.transform(
-                                    F.filter(
-                                        F.col("pqw"),
-                                        lambda x: x.getField("j") == j,
-                                    ),
-                                    lambda x: F.struct(
-                                        _l2sq(x.getField("w"), _sub(F.col("vec"), j)
-                                              ).alias("d"),
-                                        x.getField("code").alias("code"),
-                                    ),
-                                )
-                            ).getField("code").alias("code"),
-                            _sub(F.col("vec"), j).alias("sub"),
-                        ),
-                    )
-                ).alias("a")
             )
-            .select(F.col("a.j").alias("j"), F.col("a.code").alias("code"),
-                    F.col("a.sub").alias("sub"))
-        )
-        flat_means = (
-            assigned.select("j", "code", F.posexplode("sub").alias("pos", "e"))
-            .groupBy("j", "code", "pos")
-            .agg(F.avg("e").alias("m"))
-        )
-        books = _pack_books(flat_means)
-        it += 1
-        if it == PQ_LLOYD:
-            # one cut for the final model only: PQ_LLOYD=2 keeps the
-            # unchecked plan shallow, and consumers must never replay
-            # k-means lineage (same cadence rationale as ivf_centroids).
-            # eager=True was A/B'd in r08 and is a WASH — don't re-try:
-            # both modes hand consumers a truncated leaf at
-            # construction (lazy localCheckpoint compiles the plan
-            # immediately, only the job defers), so eagerness moves
-            # execution timing only. Six bench-faithful paired sessions
-            # (get_spark config, warmups, noop sink, bench query order)
-            # put the medians at 6.24s eager vs 6.25s lazy for this
-            # query; early fresh-session protos that suggested a 4s
-            # eager win were host-noise artifacts (this VM swings 2x).
-            # Lazy keeps construction side-effect-free (building a
-            # consumer DataFrame must not run a training job).
-            # r09 stage profile (PROFILE_IVF_r09.md): this cut's
-            # synchronous plan compile is 1.2-1.4s of the build — the
-            # single biggest constant — but per-pass lazy cuts A/B'd a
-            # wash and the compile must happen once somewhere; the cost
-            # is session-amortized via _PQ_BOOKS_MEMO and irreducible
-            # under the recall-pinned training constants.
-            books = cut_lineage(books, eager=False)
-    return books
+        ),
+        lambda x: x.getField("w").isNotNull(),
+    )
+    df = barrier(df.select("sample", seeds.alias("pqw")))
+    for _ in range(PQ_LLOYD):
+        # three barriers per pass, as in ivf_centroids plus the grouped
+        # codebook: the by-subspace regroup runs once per pass (not
+        # once per sample element), the assignment column is referenced
+        # once per codeword by the member filters, and the model column
+        # once per sample element by the encode lambda
+        df = barrier(df.select(
+            "sample", "pqw",
+            _books_grouped(F.col("pqw")).alias("g"),
+        ))
+        df = barrier(df.select(
+            "sample", "pqw",
+            _pq_assign_packed(F.col("sample"), F.col("g")).alias("a"),
+        ))
+        df = barrier(df.select(
+            "sample",
+            _pq_means_packed(F.col("a"), F.col("pqw")).alias("pqw"),
+        ))
+    return cut_lineage(df.select("pqw"), eager=False)
 
 
-def _codes_col(vec: Column, pqw: Column) -> Column:
+def _books_grouped(pqw: Column) -> Column:
+    """``pqw`` regrouped by subspace: array (index j) of that
+    subspace's struct(j, code, w) entries, (j, code) order preserved.
+    Computed ONCE — on the 1-row model frame before a broadcast, or as
+    a barriered column per training pass — so the per-vector encode
+    below replaces its former per-(vector, j) filter scan of all M*KS
+    entries with one element_at (r15: that scan was the hot loop of
+    both training assignment and corpus encode — M*KS lambda evals per
+    vector per subspace, ~16x the arithmetic the argmin itself needs)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        lambda j: F.filter(pqw, lambda x: x.getField("j") == j),
+    )
+
+
+def _codes_from_grouped(vec: Column, pqw_g: Column) -> Column:
     """array<int> of per-subspace nearest-codeword codes for ``vec``
-    against the in-scope packed codebook column ``pqw`` (lexicographic
-    (dist, code) argmin — deterministic tie-break)."""
+    against a ``_books_grouped`` codebook column (lexicographic
+    (dist, code) argmin — the deterministic tie-break; same subsets in
+    the same order as the former flat-filter shape, so codes are
+    bit-identical)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(M - 1)),
         lambda j: F.array_min(
             F.transform(
-                F.filter(pqw, lambda x: x.getField("j") == j),
+                F.element_at(pqw_g, j + 1),
                 lambda x: F.struct(
-                    _l2sq(x.getField("w"), _sub(vec, j)).alias("d"),
+                    _sub_l2sq(x.getField("w"), vec, j).alias("d"),
                     x.getField("code").alias("code"),
                 ),
             )
@@ -269,8 +298,13 @@ def pq_encode(vectors: DataFrame, books: DataFrame) -> DataFrame:
     one map-only pass."""
     return (
         vectors.select("vec_id", "vec")
-        .crossJoin(F.broadcast(books))
-        .select("vec_id", _codes_col(F.col("vec"), F.col("pqw")).alias("codes"))
+        .crossJoin(F.broadcast(
+            books.select(_books_grouped(F.col("pqw")).alias("pqw_g"))
+        ))
+        .select(
+            "vec_id",
+            _codes_from_grouped(F.col("vec"), F.col("pqw_g")).alias("codes"),
+        )
     )
 
 
@@ -290,8 +324,8 @@ def adc_lut(queries: DataFrame, books: DataFrame) -> DataFrame:
                     "pqw",
                     lambda x: F.struct(
                         (x.getField("j") * KS + x.getField("code")).alias("k"),
-                        _l2sq(x.getField("w"),
-                              _sub(F.col("qv"), x.getField("j"))).alias("d"),
+                        _sub_l2sq(x.getField("w"), F.col("qv"),
+                                  x.getField("j")).alias("d"),
                     ),
                 )
             ).alias("lut"),
@@ -329,13 +363,15 @@ def ivfpq_index(vectors: DataFrame, cent: DataFrame,
     return (
         vectors.select("vec_id", "vec")
         .crossJoin(F.broadcast(cent))
-        .crossJoin(F.broadcast(books))
+        .crossJoin(F.broadcast(
+            books.select(_books_grouped(F.col("pqw")).alias("pqw_g"))
+        ))
         .select(
             F.col("vec_id").alias("cid"),
             F.array_min(
                 _cell_scores(F.col("cents"), F.col("vec"))
             ).getField("cell").alias("cell"),
-            _codes_col(F.col("vec"), F.col("pqw")).alias("codes"),
+            _codes_from_grouped(F.col("vec"), F.col("pqw_g")).alias("codes"),
         )
     )
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_finance_spark.catalog import table
+from etl_finance_spark.hofbarrier import barrier
 from etl_finance_spark.lineage import (
     cut_lineage, ensure_persisted, managed_persist,
 )
@@ -340,7 +341,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 16
 N_PROBE = 2
 LLOYD_ITERS = 2
-CHECKPOINT_EVERY = 4  # Lloyd passes between lineage cuts; see ivf_centroids
 TRAIN_CAP = 4096  # quantizer training-sample bound; see ivf_centroids
 # Cell-keyed SHUFFLE joins have only N_CELLS distinct shuffle keys;
 # salting by a hash bucket of the corpus-side id raises their
@@ -375,6 +375,110 @@ def _cell_scores(cents: Column, vec: Column) -> Column:
     )
 
 
+def _packed_sample(vectors: DataFrame, train_cap: int) -> DataFrame:
+    """The ``train_cap``-bounded deterministic training sample packed
+    into ONE row (column ``sample``: array<struct<vec_id, vec>>), in
+    the same hash order the row-based Lloyd builders consumed
+    (xxhash64(vec_id) ascending, vec_id tiebreak).
+
+    The order is re-established ROW-LOCALLY with an explicit
+    array_sort rather than inherited from the TakeOrdered operator's
+    single output partition, so the packed sample — and therefore
+    every left-to-right float fold the builders run over it — is
+    partition-layout-proof by construction, not by operator accident.
+    Shared by ivf_centroids and pq.pq_train (r15: training collapsed
+    from ~14 micro-stages of 4096-row shuffles to one TakeOrdered +
+    one global pack; see ivf_centroids)."""
+    raw = (
+        vectors.select("vec_id", "vec")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(train_cap)
+        .groupBy()
+        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("raw"))
+    )
+    sample = F.transform(
+        F.array_sort(
+            F.transform(
+                "raw",
+                lambda x: F.struct(
+                    F.xxhash64(x.getField("vec_id")).alias("h"),
+                    x.getField("vec_id").alias("vec_id"),
+                    x.getField("vec").alias("vec"),
+                ),
+            )
+        ),
+        lambda s: F.struct(
+            s.getField("vec_id").alias("vec_id"),
+            s.getField("vec").alias("vec"),
+        ),
+    )
+    # barrier: the sorted pack must materialize once per (single) row —
+    # inlined, each downstream consumer expression would re-sort it
+    return barrier(raw.select(sample.alias("sample")))
+
+
+def _lloyd_assign_packed(sample: Column, cents: Column) -> Column:
+    """Per sample element, its nearest cell under ``cents`` —
+    array<struct<cell, vec>>. The argmin is the exact expression the
+    row-based builder used (_cell_scores + array_min: lexicographic
+    (d2, cell) tie-break), mapped over the packed sample."""
+    return F.transform(
+        sample,
+        lambda x: F.struct(
+            F.array_min(
+                _cell_scores(cents, x.getField("vec"))
+            ).getField("cell").alias("cell"),
+            x.getField("vec").alias("vec"),
+        ),
+    )
+
+
+def _lloyd_means_packed(assigned: Column, cents: Column) -> Column:
+    """One Lloyd re-estimation over the packed assignment: per model
+    cell, the per-dimension mean of its members, empty cells dropped —
+    the row-local equivalent of the former posexplode +
+    groupBy(cell, pos).avg + re-pack, with bit-identical arithmetic:
+    each (cell, pos) slot accumulates 0.0 + v1 + ... + vn in sample
+    order (exactly the order the single-map-task partial Average saw)
+    and divides by the long count once at the end."""
+    with_n = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.filter(
+                assigned,
+                lambda a: a.getField("cell") == c.getField("cell"),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("n"),
+                F.transform(
+                    c.getField("cvec"), lambda _: F.lit(0.0)
+                ).alias("s"),
+            ),
+            lambda ac, a: F.struct(
+                (ac.getField("n") + 1).alias("n"),
+                F.zip_with(
+                    ac.getField("s"), a.getField("vec"),
+                    lambda s, v: s + v,
+                ).alias("s"),
+            ),
+            lambda ac: F.struct(
+                c.getField("cell").alias("cell"),
+                ac.getField("n").alias("n"),
+                F.transform(
+                    ac.getField("s"), lambda s: s / ac.getField("n")
+                ).alias("cvec"),
+            ),
+        ),
+    )
+    return F.transform(
+        F.filter(with_n, lambda e: e.getField("n") > 0),
+        lambda e: F.struct(
+            e.getField("cell").alias("cell"),
+            e.getField("cvec").alias("cvec"),
+        ),
+    )
+
+
 def ivf_centroids(vectors: DataFrame,
                   train_cap: int = TRAIN_CAP) -> DataFrame:
     """Deterministic k-means coarse quantizer, all DataFrame ops,
@@ -388,124 +492,70 @@ def ivf_centroids(vectors: DataFrame,
     assignment is an array_min over a row-local expression — the corpus
     NEVER shuffles, neither in the Lloyd passes here nor in downstream
     routing (the round-3 shape ran every assignment through a
-    corpus-cardinality groupBy(vec_id) exchange). The only shuffles left
-    are the per-dimension mean rollups, keyed (cell, pos): fully
-    distributed, never more than N_CELLS x dim rows out.
+    corpus-cardinality groupBy(vec_id) exchange). Since r15 the Lloyd
+    passes themselves are row-local too (below): the only shuffles left
+    in the whole build are the sample TakeOrdered and the 1-row pack.
 
     SAMPLE-BOUNDED TRAINING (round-4): the Lloyd passes run on a
     deterministic hash-ordered sample of at most ``train_cap`` vectors
     (xxhash64 order, vec_id tiebreak), not the full corpus — the same
     trade FAISS makes when training a coarse quantizer. Without the
     bound, every Lloyd pass re-reads the entire corpus, so at 100 TB the
-    *index build* costs LLOYD_ITERS extra full scans; with it, training
-    is one TakeOrdered scan (reduce output = train_cap rows) plus
-    constant-size passes over a localCheckpointed ~4096-row frame,
-    at any corpus size. When the corpus fits under the cap — every test
-    fixture does — the sample IS the corpus, so the model is bit-for-bit
-    the round-3 model and the measured recall constants are unchanged."""
-    # eager=False everywhere in this builder: the checkpoints still
-    # truncate lineage and cache their blocks on first materialization,
-    # but merely CONSTRUCTING a consumer DataFrame (the plan sweep, a
-    # driver pass that builds all queries before running any) no longer
-    # trains the model as a side effect — the first real action does.
-    # The non-eager persists drain via lineage.release_cuts() after
-    # the consuming query's action (lineage.py contract).
-    # eager=True on the FINAL cut was A/B'd in r08 and is a WASH —
-    # don't re-try: lazy localCheckpoint already hands consumers a
-    # truncated leaf at construction (only the job defers), and six
-    # bench-faithful paired sessions measured medians of 5.88s eager
-    # vs 5.41s lazy for q_ann_ivf_topk (within host noise; this VM
-    # swings 2x — early fresh-session protos suggesting an eager win
-    # were noise artifacts). Lazy keeps construction side-effect-free.
-    # managed_persist, NOT cut_lineage: the sample's lineage is shallow
-    # (scan + hash-order + limit) — truncation buys nothing, while the
-    # localCheckpoint planning round-trip costs ~1-2s of driver time
-    # per cold call (r06 perf finding). The persist alone gives the
-    # Lloyd passes their recompute-free reads; the MODEL cut below
-    # still truncates the deep k-means lineage consumers must not
-    # replay.
-    train = managed_persist(
-        vectors.select("vec_id", "vec")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_cap)
+    *index build* costs LLOYD_ITERS extra full scans. When the corpus
+    fits under the cap — every test fixture does — the sample IS the
+    corpus, so the model is bit-for-bit the round-3 model and the
+    measured recall constants are unchanged.
+
+    PACKED-SAMPLE TRAINING (r15, guide §1.2/§2.4): the r09 profile
+    blamed the build on "driver-side compile", but the r15 phase probe
+    showed the cut's toRdd under AQE *executes* the intermediate query
+    stages — the real cost was ~14 micro-stages (per-pass broadcast
+    builds, (cell, pos) exchanges, global re-pack exchanges) each
+    paying fixed scheduling constants on a 4096-row frame. The sample
+    is BOUNDED by construction, so the whole Lloyd iteration is now
+    row-local: one TakeOrdered + one global pack produce a 1-row
+    ``sample`` array ordered exactly as the row-based builder's single
+    map task streamed it, and every pass runs as higher-order folds
+    over that row (assignment = the same _cell_scores argmin; means =
+    per-(cell, pos) left-to-right sums in sample order / long count —
+    bit-identical arithmetic to the former partial Average). Plan:
+    2 shuffles total at any corpus size, zero per-pass stages. The
+    barriers between passes are load-bearing twice over: they stop
+    CollapseProject from inlining the previous model into the
+    per-element assignment lambda (the hofbarrier re-evaluation
+    hazard: once per sample element per pass) and they keep the plan
+    depth linear in LLOYD_ITERS. Bit-identity old-vs-new was verified
+    empirically on sf0.001/0.01/0.1 and the scale fixtures before the
+    old shape was removed (OPTIMIZATION_r15.md)."""
+    # Final cut only (non-eager): consumers must never replay k-means
+    # lineage, and constructing a consumer DataFrame must not train the
+    # model as a side effect — the first real action does. The cut's
+    # persist drains via lineage.release_cuts() (lineage.py contract).
+    df = _packed_sample(vectors, train_cap)
+    # seeds: the N_CELLS lowest-vec_id sample vectors, cell = rank+1 —
+    # array_sort on (vec_id, vec) structs == the former
+    # sort_array(collect_list(...)) of the limit(N_CELLS) frame
+    seeds = F.transform(
+        F.slice(F.array_sort(F.col("sample")), 1, N_CELLS),
+        lambda x, i: F.struct(
+            (i + 1).alias("cell"), x.getField("vec").alias("cvec")
+        ),
     )
-    seeds = (
-        train.orderBy("vec_id").limit(N_CELLS)
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "vec"))).alias("s"))
-        .select(
-            F.transform(
-                "s",
-                lambda x, i: F.struct(
-                    (i + 1).alias("cell"), x.getField("vec").alias("cvec")
-                ),
-            ).alias("cents")
-        )
-    )
-    cent = seeds
-    it = 0
+    df = barrier(df.select("sample", seeds.alias("cents")))
     for _ in range(LLOYD_ITERS):
-        assigned = (
-            train.select("vec_id", "vec")
-            .crossJoin(F.broadcast(cent))
-            .select(
-                F.array_min(
-                    _cell_scores(F.col("cents"), F.col("vec"))
-                ).getField("cell").alias("cell"),
-                "vec",
-            )
-        )
-        # per-dimension means keyed (cell, pos) — the one genuinely
-        # distributed rollup; its output is <= N_CELLS x dim rows
-        dim_means = (
-            assigned.select("cell", F.posexplode("vec").alias("pos", "e"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("e").alias("m"))
-        )
-        # re-pack map-side of a single global aggregate: empty cells
-        # drop out (same as the round-3 groupBy(cell)), per-cell vecs
-        # re-assemble in pos order via the lexicographic struct sort
-        cent = (
-            dim_means.groupBy()
-            .agg(F.collect_list(F.struct("cell", "pos", "m")).alias("flat"))
-            .select(
-                F.transform(
-                    F.array_sort(
-                        F.array_distinct(
-                            F.transform("flat", lambda x: x.getField("cell"))
-                        )
-                    ),
-                    lambda c: F.struct(
-                        c.alias("cell"),
-                        F.transform(
-                            F.array_sort(
-                                F.filter(
-                                    F.col("flat"),
-                                    lambda x: x.getField("cell") == c,
-                                )
-                            ),
-                            lambda x: x.getField("m"),
-                        ).alias("cvec"),
-                    ),
-                ).alias("cents")
-            )
-        )
-        # checkpoint cadence: every CHECKPOINT_EVERY passes plus the
-        # final model. Each eager lineage cut is a job — at
-        # LLOYD_ITERS=2 checkpointing every pass spent more wall-clock
-        # on job barriers than it saved in lineage (round-3 A/B), while
-        # NEVER checkpointing regrows the plan exponentially with the
-        # iteration count (round-2 finding). Per-pass LAZY cuts (no job
-        # barrier) were A/B'd in r09: ~0.1s on this builder, a wash on
-        # pq_train — not worth the cadence fork (PROFILE_IVF_r09.md;
-        # the builder's cost is driver-side plan compile, paid once per
-        # session via the model memo). The downstream consumers
-        # (corpus + query routing) always see a checkpointed 1-row
-        # model, so they never replay k-means lineage.
-        it += 1
-        if it % CHECKPOINT_EVERY == 0 or it == LLOYD_ITERS:
-            cent = cut_lineage(cent, eager=False)
-    return cent
+        # two barriers per pass: materialize the assignment once (the
+        # per-cell member filters reference it N_CELLS x), then the new
+        # model once (the next pass's per-element argmin lambda
+        # references it once per sample element)
+        df = barrier(df.select(
+            "sample", "cents",
+            _lloyd_assign_packed(F.col("sample"), F.col("cents")).alias("a"),
+        ))
+        df = barrier(df.select(
+            "sample",
+            _lloyd_means_packed(F.col("a"), F.col("cents")).alias("cents"),
+        ))
+    return cut_lineage(df.select("cents"), eager=False)
 
 
 def ivf_assign(vectors: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
